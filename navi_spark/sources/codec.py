@@ -1,0 +1,166 @@
+"""Deterministic image codec for the synthetic image+caption table.
+
+The ground table (BASELINE.json input_hint) carries encoded image payloads:
+``(image_id, bytes:binary, w, h, fmt in {png, jpeg}, caption, phash:int64)``.
+This container has no image libraries (no PIL/opencv/libjpeg), so:
+
+* ``png``  — a REAL minimal PNG codec (stdlib zlib): 8-bit RGB, filter 0.
+  Any standard viewer can open these; decode is exact (lossless).
+* ``jpeg`` — the lossy path is STUBBED with a deterministic stand-in codec
+  ("NVLS"): channel quantization to multiples of 8 + zlib. Uniform
+  quantization with step q=8 gives MSE ≈ q²/12 ≈ 5.33 → PSNR ≈ 40.9 dB,
+  which genuinely exercises the per-row PSNR ≥ 40 dB lossy invariant from
+  the input_hint. Swap ``_encode_lossy``/``_decode_lossy`` for a real JPEG
+  codec on a cluster with libjpeg available — every caller goes through
+  ``encode_image``/``decode_image`` so the seam is one function wide.
+
+All functions are pure numpy on whole arrays — they are invoked from
+Arrow-batched pandas UDFs (one call per row's ndarray, vectorized across the
+pixel dimension), never from per-row Python UDFs over scalars.
+
+Reference parity: the payload validation these feed (decoded-pixel allclose
++ PSNR + caption equality) stands in for the reference's HTTP fetch +
+content-type/language gate (crawler/WebCrawler.java:175-230).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_LOSSY_MAGIC = b"NVLS"  # deterministic stand-in for JPEG (see module doc)
+_LOSSY_Q = 8  # quantization step -> PSNR ~40.9 dB
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real RGB8 PNG (filter type 0)."""
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), px.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a filter-0 RGB8 PNG produced by :func:`encode_png`."""
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    pos, idat, w, h = 8, b"", 0, 0
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bits, ctype = struct.unpack(">IIBB", payload[:10])
+            assert bits == 8 and ctype == 2, "only RGB8 supported"
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, w * 3 + 1)
+    assert (raw[:, 0] == 0).all(), "only filter 0 supported"
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+def _encode_lossy(px: np.ndarray) -> bytes:
+    """STUB lossy codec (JPEG stand-in): quantize channels to step 8 + zlib."""
+    h, w, _ = px.shape
+    q = (px.astype(np.int32) // _LOSSY_Q).astype(np.uint8)
+    return _LOSSY_MAGIC + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 6)
+
+
+def _decode_lossy(data: bytes) -> np.ndarray:
+    assert data[:4] == _LOSSY_MAGIC, "not a NVLS payload"
+    w, h = struct.unpack(">II", data[4:12])
+    q = np.frombuffer(zlib.decompress(data[12:]), np.uint8).reshape(h, w, 3)
+    # dequantize to bin centers (q*8 + 4), clipped to byte range
+    return np.minimum(q.astype(np.int32) * _LOSSY_Q + _LOSSY_Q // 2, 255).astype(
+        np.uint8
+    )
+
+
+def encode_image(px: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(px)
+    if fmt == "jpeg":
+        return _encode_lossy(px)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "jpeg":
+        return _decode_lossy(data)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit average perceptual hash (8×8 grayscale mean threshold).
+
+    Stands in for the reference's MD5 content hash as the dedup key
+    (crawler/HashingManager.java:21-33) — the survey maps `hashingDoc` to
+    an int64 `phash` (SURVEY.md §1.5). Returned as a SIGNED int64 so it
+    stores directly in a LongType column.
+    """
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # average-pool to 8x8 (sizes here are multiples of 8: 16/32/64)
+    bh, bw = h // 8, w // 8
+    small = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (small > small.mean()).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def make_pixels(image_id: str, w: int, h: int, dup_of: str | None = None) -> np.ndarray:
+    """Deterministic seeded pixel pattern for an image_id.
+
+    Smooth gradient + per-image sinusoid, so the lossy quantization noise is
+    well distributed (keeps PSNR in the 40-41 dB band). ``dup_of`` forces the
+    pattern of another image_id — used to inject exact pixel duplicates
+    (~2% of rows, FIXTURES.md §1) that exercise phash dedup (C15).
+    """
+    key = dup_of if dup_of is not None else image_id
+    seed = zlib.crc32(key.encode()) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    fx, fy, phase = rng.uniform(0.5, 4.0, 2).tolist() + [rng.uniform(0, 6.28)]
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = (
+        128
+        + 60 * np.sin(2 * np.pi * fx * xx / w + phase)
+        + 60 * np.cos(2 * np.pi * fy * yy / h)
+    )
+    chans = [
+        np.clip(base + rng.uniform(-30, 30) + 15 * np.sin(2 * np.pi * (xx + yy) / (w + h) * c), 0, 255)
+        for c in (1.0, 2.0, 3.0)
+    ]
+    return np.stack(chans, axis=2).astype(np.uint8)

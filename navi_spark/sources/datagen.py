@@ -1,0 +1,268 @@
+"""Deterministic, seeded synthetic data generation — DISTRIBUTED.
+
+Everything the engine consumes is synthesized here (no external data,
+BASELINE.json): the ground image+caption table, the URL universe + link
+graph, seed lists, and per-host robots.txt rules. Generation itself runs as
+Spark jobs (``spark.range(n)`` → ``mapInPandas``), so the same code scales
+from the 10^3-row unit fixtures to the 10^8-row bench tables: rows are pure
+functions of their index + seed, independent of partitioning.
+
+Shapes follow FIXTURES.md §§1-4; semantics the generators must exercise are
+cited to the reference (dup injection for C15 dedup, Zipf hot-host for the
+north-rule salting story, dirty URL variants covering every C3 rule).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from navi_spark.sources.codec import encode_image, make_pixels, phash64
+
+SEED = 42
+VOCAB = (
+    "ocean cliff sunset tree river bridge market lantern desert canyon "
+    "harbor meadow tower forest island temple garden statue mosaic dune "
+    "plaza mural fountain archway skyline glacier lagoon orchard villa path "
+    "boat kite mural drum flute vase loom anvil quill scroll compass map "
+    "amber coral indigo crimson ochre jade slate pearl copper bronze"
+).split()
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+URLS_SCHEMA = (
+    "url string, host string, image_id string, depth_hint int, "
+    "children array<string>"
+)
+
+_SIZES = (16, 32, 64)
+_DUP_STRIDE = 50  # i % 50 == 7 duplicates i-50 → ~2% rows (FIXTURES.md §1)
+
+
+def _u01(i: int, salt: int) -> float:
+    """Deterministic uniform(0,1) from a row index — partition-independent."""
+    x = (i * 2654435761 + salt * 40503 + SEED * 97) & 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 0x45D9F3B) & 0xFFFFFFFF
+    x ^= x >> 16
+    return x / 2**32
+
+
+def _caption_for(i: int) -> str:
+    rng = np.random.default_rng(zlib.crc32(f"cap{i}:{SEED}".encode()) & 0xFFFFFFFF)
+    n = int(rng.integers(3, 13))
+    return " ".join(VOCAB[int(k)] for k in rng.integers(0, len(VOCAB), n))
+
+
+def _image_row(i: int) -> tuple[str, bytes, int, int, str, str, int]:
+    image_id = f"img{i:010d}"
+    dup_of = None
+    src = i
+    if i >= _DUP_STRIDE and i % _DUP_STRIDE == 7:
+        src = i - _DUP_STRIDE  # exact-pixel duplicate of an earlier image
+        dup_of = f"img{src:010d}"
+    w = _SIZES[int(_u01(src, 1) * 3)]
+    h = _SIZES[int(_u01(src, 2) * 3)]
+    fmt = "png" if _u01(src, 3) < 0.8 else "jpeg"
+    px = make_pixels(image_id, w, h, dup_of=dup_of)
+    data = encode_image(px, fmt)
+    # phash of the SOURCE pixels: a lossy duplicate still collides (C15)
+    return image_id, data, w, h, fmt, _caption_for(src), phash64(px)
+
+
+def generate_images(spark: SparkSession, n: int, parts: int | None = None) -> DataFrame:
+    """The ground Iceberg-shaped table of image+caption pairs (input_hint).
+
+    ``(image_id, bytes, w, h, fmt, caption, phash)``; ~2% exact-duplicate
+    rows (same pixels + phash, own image_id) to exercise content dedup
+    (reference C15, crawler/HashingManager.java:21-56).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [_image_row(int(i)) for i in b["id"]]
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
+
+    rng = spark.range(n, numPartitions=parts) if parts else spark.range(n)
+    return rng.mapInPandas(gen, IMAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# URL universe + link graph
+# ---------------------------------------------------------------------------
+
+
+def host_name(hid: int, n_hosts: int) -> str:
+    """Host names include the C3 rewrite families (www/www2/.eg)."""
+    base = f"host{hid}.test"
+    m = hid % 17
+    if m == 3:
+        return f"www.{base}"      # normalizes back to base (C3 rule 8)
+    if m == 5:
+        return f"www2.{base}"
+    if m == 7:
+        return f"{base}.eg"       # ".eg" suffix strip → back to base
+    return base
+
+
+def canonical_host(hid: int) -> str:
+    """What C3 normalization maps :func:`host_name` onto."""
+    return f"host{hid}.test"
+
+
+def host_id_for(i: int, n_hosts: int) -> int:
+    """Zipf-ish skew: host 0 is the hot host (north-rule salting target)."""
+    u = _u01(i, 11)
+    return int(n_hosts * (u**3.0)) % n_hosts
+
+
+def canonical_url(i: int, n_hosts: int) -> str:
+    return f"https://{canonical_host(host_id_for(i, n_hosts))}/p/{i}"
+
+
+def dirty_url(i: int, n_hosts: int) -> str:
+    """A raw URL that C3-normalizes exactly to :func:`canonical_url`.
+
+    Variants cycle through the normalizer's rules: case, scheme omission,
+    default port, query string, trailing slash, percent-encoding, and the
+    www/www2/.eg host spellings (all identity-preserving under C3; the
+    '#fragment' quirk is NOT identity-preserving — see urlnorm docstring —
+    so fragments are excluded here and tested separately).
+    """
+    hid = host_id_for(i, n_hosts)
+    host = host_name(hid, n_hosts)
+    path = f"/p/{i}"
+    v = i % 8
+    if v == 0:
+        return f"https://{host}{path}"
+    if v == 1:
+        return f"HTTPS://{host.upper()}{path.upper()}"
+    if v == 2:
+        return f"{host}{path}"                      # no scheme
+    if v == 3:
+        return f"https://{host}:443{path}"          # default port
+    if v == 4:
+        return f"https://{host}{path}?utm=x&y=1"    # query dropped
+    if v == 5:
+        return f"https://{host}{path}/"             # trailing slash
+    if v == 6:
+        s = str(i)
+        return f"https://{host}/p/%{ord(s[0]):02x}{s[1:]}"  # %-encode first digit
+    return f"https://{host}/./p/{i}"                # dot segment
+
+
+def children_of(i: int, n_urls: int, n_hosts: int, max_children: int = 8) -> list[str]:
+    """Deterministic out-links, closed over the URL universe, cycles included
+    (reference C16 link extraction; graph feeds PageRank C23)."""
+    k = int(_u01(i, 21) * (max_children + 1))
+    return [
+        canonical_url((i * 2654435761 + j * 40503 + 12345) % n_urls, n_hosts)
+        for j in range(k)
+    ]
+
+
+def generate_urls(
+    spark: SparkSession,
+    n_urls: int,
+    n_hosts: int = 100,
+    parts: int | None = None,
+    dirty: bool = True,
+    with_children: bool = True,
+) -> DataFrame:
+    """URL table ``(url, host, image_id, depth_hint, children)``.
+
+    ``url`` is the RAW (dirty) spelling when ``dirty=True`` — the frontier
+    pipeline must canonicalize it. ``host`` is the canonical host (ground
+    truth for assertions only; the engine re-derives it)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            idx = [int(i) for i in b["id"]]
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        dirty_url(i, n_hosts) if dirty else canonical_url(i, n_hosts)
+                        for i in idx
+                    ],
+                    "host": [canonical_host(host_id_for(i, n_hosts)) for i in idx],
+                    "image_id": [f"img{i % max(n_urls, 1):010d}" for i in idx],
+                    "depth_hint": [int(_u01(i, 31) * 6) for i in idx],
+                    "children": [
+                        children_of(i, n_urls, n_hosts) if with_children else []
+                        for i in idx
+                    ],
+                }
+            )
+
+    rng = spark.range(n_urls, numPartitions=parts) if parts else spark.range(n_urls)
+    return rng.mapInPandas(gen, URLS_SCHEMA)
+
+
+def generate_seeds(n_seeds: int, n_urls: int, n_hosts: int = 100) -> list[str]:
+    """Seed list (mirrors backend/navi/Data/seed.txt — ~30 URLs, some dirty,
+    ≥1 duplicate-after-normalization pair, FIXTURES.md §3)."""
+    step = max(n_urls // max(n_seeds, 1), 1)
+    seeds = [dirty_url(i * step, n_hosts) for i in range(n_seeds)]
+    if n_seeds >= 2:
+        # duplicate-after-normalization: dirty + canonical spellings of url 0
+        seeds.append(canonical_url(0, n_hosts))
+    return seeds
+
+
+# ---------------------------------------------------------------------------
+# robots.txt
+# ---------------------------------------------------------------------------
+
+ROBOTS_SCHEMA = "host string, robots_txt string, crawl_delay_s double"
+
+
+def robots_txt_for(hid: int) -> str | None:
+    """Per-host robots.txt text (FIXTURES.md §4). None = host 404s → allow-all
+    (reference RobotServer.java:54-57). Rules exercise wildcard conversion,
+    longest-pattern-first precedence, and allow-on-no-match."""
+    m = hid % 10
+    if m in (0, 1, 2, 3):
+        return None  # 40% of hosts have no robots.txt
+    if m == 4:
+        return "User-agent: *\nDisallow: /private\n"
+    if m == 5:
+        return (
+            "# block the p/1xx range, allow a specific page\n"
+            "User-agent: *\n"
+            "Disallow: /p/1*\n"
+            "Allow: /p/12*\n"
+        )
+    if m == 6:
+        return "User-agent: *\nDisallow: /\nAllow: /p/\n"
+    if m == 7:
+        return "User-agent: bingbot\nDisallow: /\n"  # only '*' consulted → allow
+    if m == 8:
+        return "User-agent: *\nCrawl-delay: 2\nDisallow: /p/3*\n"
+    return "User-agent: *\nAllow: /\n"
+
+
+def crawl_delay_for(hid: int) -> float:
+    """North-rule extension: per-host crawl-delay budget (reference has a
+    page-cap only — SURVEY.md C8)."""
+    return 2.0 if hid % 10 == 8 else 0.0
+
+
+def generate_robots(spark: SparkSession, n_hosts: int = 100) -> DataFrame:
+    rows = [
+        (canonical_host(h), robots_txt_for(h), crawl_delay_for(h))
+        for h in range(n_hosts)
+        if robots_txt_for(h) is not None
+    ]
+    if not rows:
+        return spark.createDataFrame([], ROBOTS_SCHEMA)
+    return spark.createDataFrame(rows, ROBOTS_SCHEMA)

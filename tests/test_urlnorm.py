@@ -1,0 +1,141 @@
+"""Table-driven tests for URL canonicalization (C3) and host extraction (C4).
+
+Each case documents the reference rule it exercises
+(crawler/UrlNomalizer.java:27-96), including the deliberate quirks the
+survey calls out (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from navi_spark.functions.urlnorm import (
+    base_url_py,
+    host_expr,
+    host_of_py,
+    normalize_url_expr,
+    normalize_url_py,
+    normalize_url_udf,
+    url_hash64,
+)
+
+# (input, expected) — expected=None means the reference returns null.
+CASES = [
+    # rule 1: trim + lowercase
+    ("  HTTPS://Example.COM/Path  ", "https://example.com/path"),
+    # rule 3: https:// prefixed when scheme missing
+    ("example.com/a", "https://example.com/a"),
+    ("http://example.com/a", "http://example.com/a"),
+    # rule 5/10: default AND non-default ports dropped from output
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:80/a", "https://example.com/a"),
+    ("https://example.com:8080/a", "https://example.com/a"),
+    # rule 10: query dropped
+    ("https://example.com/a?q=1&b=2", "https://example.com/a"),
+    # quirk (dead fragment branch): '#' is form-encoded, so the fragment
+    # survives INTO the path rather than being stripped (UrlNomalizer.java:58
+    # never fires — URLEncoder encodes '#' at :39).
+    ("https://example.com/a#frag", "https://example.com/a#frag"),
+    # rule 7: exactly one trailing slash stripped
+    ("https://example.com/a/", "https://example.com/a"),
+    ("https://example.com/a//", "https://example.com/a"),  # URI.normalize
+    # collapses the inner empty segment, then one trailing slash strips
+    ("https://example.com/", "https://example.com"),
+    ("https://example.com", "https://example.com"),
+    # rule 4: dot segments (java.net.URI.normalize)
+    ("https://example.com/a/./b", "https://example.com/a/b"),
+    ("https://example.com/a/../b", "https://example.com/b"),
+    ("https://example.com/a/b/..", "https://example.com/a/b/.."[:19] + ""),  # placeholder, fixed below
+    # rule 8: www./www2. strips — including the char-count mangles
+    ("https://www.example.com/a", "https://example.com/a"),
+    ("https://www2.example.com/a", "https://example.com/a"),
+    ("https://wwwfoo.com/a", "https://oo.com/a"),      # quirk: drops 4 chars
+    ("https://www2foo.com/a", "https://oo.com/a"),     # quirk: drops 5 chars
+    # rule 8: .eg suffix strip
+    ("https://site.com.eg/a", "https://site.com/a"),
+    ("https://site.meg/a", "https://site.meg/a"),      # not a ".eg" suffix
+    # rule 9: percent-decode once; '+' becomes space (URLDecoder semantics)
+    ("https://example.com/a%41b", "https://example.com/aab"),
+    ("https://example.com/a+b", "https://example.com/a b"),
+    ("https://example.com/a b", "https://example.com/a b"),
+    # invalid input -> null
+    (None, None),
+    ("", None),
+    ("   ", None),
+]
+# fix the placeholder: /a/b/.. normalizes to /a/ then trailing slash strips
+CASES[14] = ("https://example.com/a/b/..", "https://example.com/a")
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_normalize_py(raw, expected):
+    assert normalize_url_py(raw) == expected
+
+
+def test_normalize_udf_matches_py(spark):
+    raws = [c[0] for c in CASES if c[0] is not None]
+    df = spark.createDataFrame([(r,) for r in raws], ["url"])
+    got = {
+        r["url"]: r["norm"]
+        for r in df.select("url", normalize_url_udf("url").alias("norm")).collect()
+    }
+    for raw in raws:
+        assert got[raw] == normalize_url_py(raw), raw
+
+
+def test_normalize_expr_fast_path(spark):
+    """The builtin-expression subset agrees with the kernel on clean URLs
+    (no percent escapes / dot segments / '+')."""
+    clean = [
+        "  HTTPS://Example.COM/Path  ",
+        "example.com/a",
+        "http://example.com/a",
+        "https://example.com:8080/a",
+        "https://example.com/a?q=1",
+        "https://example.com/a/",
+        "https://www.example.com/a",
+        "https://www2.example.com/a",
+        "https://wwwfoo.com/a",
+        "https://site.com.eg/a",
+        "https://example.com",
+    ]
+    df = spark.createDataFrame([(r,) for r in clean], ["url"])
+    rows = df.select(
+        "url", normalize_url_expr(F.col("url")).alias("norm")
+    ).collect()
+    for r in rows:
+        assert r["norm"] == normalize_url_py(r["url"]), r["url"]
+
+
+def test_host_and_base():
+    assert host_of_py("https://example.com/a/b") == "example.com"
+    assert host_of_py("https://example.com:8080/a") == "example.com"
+    assert base_url_py("https://example.com:8080/a") == "https://example.com:8080"
+    assert base_url_py("https://example.com/a") == "https://example.com"
+    assert base_url_py("https://example.com:443/a") == "https://example.com"
+
+
+def test_host_expr(spark):
+    df = spark.createDataFrame(
+        [("https://example.com/a",), ("http://h1.test/x/y",)], ["url"]
+    )
+    rows = df.select(host_expr(F.col("url")).alias("h")).collect()
+    assert [r["h"] for r in rows] == ["example.com", "h1.test"]
+
+
+def test_url_hash64_stable(spark):
+    df = spark.createDataFrame([("https://example.com/a",)], ["url"])
+    a = df.select(url_hash64(F.col("url")).alias("h")).collect()[0]["h"]
+    b = df.select(F.xxhash64("url").alias("h")).collect()[0]["h"]
+    assert a == b and isinstance(a, int)
+
+
+def test_idempotent():
+    """Normalizing a normalized URL is a fixpoint (for space-free URLs —
+    a path space would re-trip the '+' rule, which the reference also
+    does not guard against; frontier URLs are normalized exactly once)."""
+    for raw, expected in CASES:
+        if expected is None or " " in expected:
+            continue
+        assert normalize_url_py(expected) == expected, expected
