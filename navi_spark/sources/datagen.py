@@ -43,7 +43,10 @@ URLS_SCHEMA = (
 )
 
 _SIZES = (16, 32, 64)
-_DUP_STRIDE = 50  # i % 50 == 7 duplicates i-50 → ~2% rows (FIXTURES.md §1)
+# Duplicate injection (~2%, FIXTURES.md §1): rows with i % 100 in {57, 83}
+# duplicate row i-50 (whose residues 7 and 33 are never dups themselves, so
+# chains can't form and every dup pair shares pixels+phash exactly).
+_DUP_RESIDUES = (57, 83)
 
 
 def _u01(i: int, salt: int) -> float:
@@ -65,8 +68,8 @@ def _image_row(i: int) -> tuple[str, bytes, int, int, str, str, int]:
     image_id = f"img{i:010d}"
     dup_of = None
     src = i
-    if i >= _DUP_STRIDE and i % _DUP_STRIDE == 7:
-        src = i - _DUP_STRIDE  # exact-pixel duplicate of an earlier image
+    if i >= 50 and i % 100 in _DUP_RESIDUES:
+        src = i - 50  # exact-pixel duplicate of an earlier image
         dup_of = f"img{src:010d}"
     w = _SIZES[int(_u01(src, 1) * 3)]
     h = _SIZES[int(_u01(src, 2) * 3)]

@@ -54,16 +54,16 @@ def test_images_table(spark):
     df = generate_images(spark, 300, parts=4).cache()
     assert df.count() == 300
     assert df.columns == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
-    # ~2% deliberate duplicates (i % 50 == 7 duplicates i-50)
+    # ~2% deliberate duplicates (i % 100 in {57, 83} duplicates i-50)
     dups = 300 - df.select("phash").distinct().count()
-    assert dups >= 4
+    assert dups >= 4  # residues 57,83,157,183,257,283 → 6 dup rows in 300
     # decode invariant on a sample: pixels match the seeded pattern
     rows = df.filter(F.col("image_id").isin("img0000000003", "img0000000057")).collect()
     for r in rows:
         dec = decode_image(bytes(r["bytes"]), r["fmt"])
         src = r["image_id"]
         if r["image_id"] == "img0000000057":
-            src = "img0000000007"  # 57 ≡ 7 (mod 50) → duplicate of 7
+            src = "img0000000007"  # 57 ≡ 57 (mod 100) → duplicate of 7
         ref = make_pixels(r["image_id"], r["w"], r["h"],
                           dup_of=src if src != r["image_id"] else None)
         if r["fmt"] == "png":
