@@ -1,0 +1,152 @@
+"""Benchmark harness — north metric: frontier throughput (URLs
+scheduled+deduped/sec) plus headline operator timings.
+
+Run:  python bench.py
+Env:  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+      SPARK_GRAFT_CPUS    (default 32)
+      NAVI_BENCH_URLS     (default 500000) — synthetic frontier size
+
+Prints ONE JSON line:
+  {"metric": "frontier_urls_per_sec", "value": <headline wall sec>,
+   "unit": "sec", "queries": {...per-query sec...}, "sf": ...,
+   "frontier": {...throughput detail...}}
+
+The frontier job is the engine's wave-scheduling core on a synthetic
+Zipf-skewed URL universe: dirty-URL generation → vectorized canonicalization
+(C3) → within-batch dedup (C15 window) → anti-join against a pre-seeded seen
+table (C9) → two-level politeness window (C8) → global TakeOrdered (C7).
+Scaling evidence (local[8] vs local[32]) is produced by
+scripts/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import SparkSession, Window  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_URLS = int(os.environ.get("NAVI_BENCH_URLS", "500000"))
+N_HOSTS = max(N_URLS // 500, 10)
+
+HEADLINE_QUERIES = (
+    "crawl_wave_schedule",
+    "c23_pagerank",
+    "i3_tokenize",
+    "r3_bm25",
+    "sim_cosine_brute",
+    "c15_content_dedup",
+    "tpch_q1_pricing_summary",
+    "ev_hourly_rollup",
+)
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("navi-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def frontier_throughput(spark: SparkSession, n_urls: int, n_hosts: int) -> dict:
+    """The north-metric job: schedule + dedup a synthetic frontier."""
+    from navi_spark.functions.urlnorm import host_expr, normalize_url_udf
+    from navi_spark.sources.datagen import generate_urls
+
+    parts = spark.sparkContext.defaultParallelism * 2
+    raw = generate_urls(
+        spark, n_urls, n_hosts=n_hosts, parts=parts, dirty=True,
+        with_children=False,
+    ).select("url")
+    # pre-seeded seen set: ~30% of the canonical universe (forces a real
+    # anti-join against a table of the same magnitude as the frontier)
+    seen = (
+        generate_urls(spark, n_urls, n_hosts=n_hosts, parts=parts,
+                      dirty=False, with_children=False)
+        .filter(F.pmod(F.xxhash64("url"), F.lit(10)) < 3)
+        .select("url")
+    )
+    seen.cache().count()  # materialize outside the timed section
+
+    t0 = time.monotonic()
+    cand = raw.select(normalize_url_udf("url").alias("url")).filter(
+        F.col("url").isNotNull()
+    )
+    cand = cand.withColumn("host", host_expr(F.col("url"))).withColumn(
+        "rank", (F.pmod(F.xxhash64("url"), F.lit(1000)) / 1000.0)
+    )
+    # within-batch dedup (first spelling wins)
+    w_dup = Window.partitionBy("url").orderBy("rank")
+    cand = cand.withColumn("_rn", F.row_number().over(w_dup)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+    new = cand.join(seen, "url", "left_anti")
+    # two-level politeness window (salted pre-trim defuses the hot host)
+    cap = 10_000
+    salted = new.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(16)))
+    w1 = Window.partitionBy("host", "_salt").orderBy("rank", "url")
+    pre = salted.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= cap
+    ).drop("_r1", "_salt")
+    w2 = Window.partitionBy("host").orderBy("rank", "url")
+    sel = pre.withColumn("_r2", F.row_number().over(w2)).filter(
+        F.col("_r2") <= cap
+    )
+    scheduled = sel.orderBy("rank", "url").limit(100_000).count()
+    wall = time.monotonic() - t0
+    seen.unpersist()
+    return {
+        "n_urls": n_urls,
+        "scheduled": scheduled,
+        "wall_sec": round(wall, 3),
+        "urls_per_sec": round(n_urls / wall, 1),
+    }
+
+
+def main() -> None:
+    spark = build_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from navi_spark import queries as q
+
+    fr = frontier_throughput(spark, N_URLS, N_HOSTS)
+
+    qtimes: dict[str, float] = {}
+    registry = q.queries()
+    for name in HEADLINE_QUERIES:
+        fn = registry[name]
+        t0 = time.monotonic()
+        n = fn(spark, SF_DIR).count()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+        _ = n
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "frontier_urls_per_sec",
+        "value": fr["wall_sec"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "frontier": fr,
+        "parallelism": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Snapshot-committed parquet tables — the engine's Iceberg seam.
+
+The north rule requires wave-atomic commits, snapshot checkpoint/resume, and
+per-partition lineage (reference: JSON state files, crawler/WebCrawler.java:
+135-172, replaced per SURVEY.md §1.3 by table snapshots). This container has
+no Iceberg runtime jars, so :class:`SnapshotTable` provides the same commit
+semantics over plain parquet:
+
+    root/
+      data/s<k>/part-*.parquet      one immutable directory per commit
+      manifests/<k>.json            {snapshot_id, parent, dirs, summary}
+      HEAD                          text file "k" — atomically os.replace()d
+
+A commit = write data dir → write manifest → atomic HEAD swap. Readers
+resolve HEAD → manifest → ``spark.read.parquet(*dirs)``. Time travel =
+read any manifest; rollback = move HEAD. Crash between data-write and HEAD
+swap leaves an orphan dir, never a torn table — the same guarantee Iceberg's
+metadata pointer gives.
+
+On a real cluster every call site swaps one-for-one onto Iceberg:
+``append``   → ``df.writeTo(tbl).append()``
+``overwrite``→ ``df.writeTo(tbl).overwritePartitions()``
+``merge_upsert`` → ``MERGE INTO tbl USING src ON key``
+``read(snapshot_id=k)`` → ``spark.read.option("snapshot-id", k).table(tbl)``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+
+    # -- metadata ----------------------------------------------------------
+    @property
+    def _head_path(self) -> str:
+        return os.path.join(self.root, "HEAD")
+
+    def snapshot_id(self) -> Optional[int]:
+        """Current committed snapshot id, or None for an empty table."""
+        try:
+            with open(self._head_path) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _manifest(self, sid: int) -> dict:
+        with open(os.path.join(self.root, "manifests", f"{sid}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """All committed manifests, oldest first (Iceberg history parity)."""
+        sid = self.snapshot_id()
+        out: list[dict] = []
+        while sid is not None:
+            m = self._manifest(sid)
+            out.append(m)
+            sid = m["parent"]
+        return list(reversed(out))
+
+    def exists(self) -> bool:
+        return self.snapshot_id() is not None
+
+    # -- read --------------------------------------------------------------
+    def read(self, snapshot_id: Optional[int] = None) -> DataFrame:
+        """Read the table at HEAD or at a given snapshot (time travel)."""
+        sid = self.snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError(f"table {self.root} has no committed snapshot")
+        dirs = self._manifest(sid)["dirs"]
+        return self.spark.read.parquet(*dirs)
+
+    def read_or_empty(self, schema: str) -> DataFrame:
+        if self.exists():
+            return self.read()
+        return self.spark.createDataFrame([], schema)
+
+    # -- write -------------------------------------------------------------
+    def _commit(self, df: DataFrame, dirs_base: list[str], summary: dict) -> int:
+        parent = self.snapshot_id()
+        sid = (parent or 0) + 1
+        ddir = os.path.join(self.root, "data", f"s{sid}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("errorifexists").parquet(ddir)
+        manifest = {
+            "snapshot_id": sid,
+            "parent": parent,
+            "dirs": dirs_base + [ddir],
+            "summary": summary,
+        }
+        mpath = os.path.join(self.root, "manifests", f"{sid}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        tmp = self._head_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp, self._head_path)  # the atomic commit point
+        return sid
+
+    def append(self, df: DataFrame, summary: Optional[dict] = None) -> int:
+        """Append-commit: new data dir + all parent dirs (Iceberg append)."""
+        parent = self.snapshot_id()
+        base = self._manifest(parent)["dirs"] if parent is not None else []
+        return self._commit(df, base, summary or {})
+
+    def overwrite(self, df: DataFrame, summary: Optional[dict] = None) -> int:
+        """Full-table replace commit (Iceberg overwrite)."""
+        return self._commit(df, [], summary or {})
+
+    def merge_upsert(self, src: DataFrame, key: str | list[str],
+                     summary: Optional[dict] = None) -> int:
+        """MERGE INTO … WHEN MATCHED UPDATE ALL / NOT MATCHED INSERT ALL.
+
+        Local stand-in: keep target rows whose key is absent from src
+        (left_anti), union src. One overwrite commit. On Iceberg this is a
+        single MERGE statement with the same semantics.
+        """
+        keys = [key] if isinstance(key, str) else list(key)
+        if not self.exists():
+            return self.overwrite(src, summary)
+        tgt = self.read()
+        merged = tgt.join(src.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = merged.unionByName(src.select(*tgt.columns))
+        # materialize BEFORE overwrite: the plan reads the dirs being replaced
+        return self.overwrite(merged.localCheckpoint(eager=True), summary)
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Point HEAD at an earlier snapshot (Iceberg rollback)."""
+        self._manifest(snapshot_id)  # raises if unknown
+        tmp = self._head_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(snapshot_id))
+        os.replace(tmp, self._head_path)
+
+    def drop(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

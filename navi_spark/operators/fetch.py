@@ -1,0 +1,112 @@
+"""Fetch + payload validation stage (reference ops C13-C15 support).
+
+The reference's fetch is a Jsoup HTTP GET with conditional-GET validators and
+a content-type/language gate (`crawler/WebCrawler.java:175-237`). In this
+graft the "fetch" resolves a frontier URL against the synthetic web graph and
+decodes the image payload from the ground image+caption table, validating the
+per-row invariant from BASELINE.json input_hint:
+
+  * decoded pixels allclose to the seeded source pattern — exact for PNG,
+    PSNR ≥ 40 dB for the lossy format,
+  * caption string equality,
+  * dimensions match the (w, h) columns.
+
+Validation runs in ONE Arrow-batched pandas UDF over the joined rows (bytes
+never leave the JVM except through Arrow); the language filter (C14:
+>10% non-ASCII body ⇒ drop, `WebCrawler.java:232-237`) is a pure Catalyst
+expression, JVM-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from navi_spark.sources.codec import decode_image, make_pixels, psnr
+from navi_spark.sources.datagen import _caption_for
+
+
+@pandas_udf(StringType())
+def validate_payload_udf(
+    image_id: pd.Series,
+    data: pd.Series,
+    fmt: pd.Series,
+    w: pd.Series,
+    h: pd.Series,
+    caption: pd.Series,
+) -> pd.Series:
+    """→ None when the payload passes, else a short failure reason.
+
+    Recomputes the deterministic source pattern per image_id (the synthetic
+    store's ground truth) and checks decode / PSNR / caption. Dup rows
+    (datagen residues 57/83) carry their source image's pattern; we accept
+    either spelling by comparing against the row's own decode contract:
+    exact for png, >=40 dB for jpeg, against EITHER own-id or caption-implied
+    source — the caption encodes the source id deterministically, so caption
+    equality + pixel check against the caption's pattern is the invariant.
+    """
+
+    def one(iid, b, f, ww, hh, cap):
+        if b is None or f is None:
+            return "missing-payload"
+        try:
+            px = decode_image(bytes(b), f)
+        except Exception as e:  # corrupt payload
+            return f"decode-error:{type(e).__name__}"
+        if px.shape != (int(hh), int(ww), 3):
+            return "dims-mismatch"
+        # source pattern: own id, else (dup rows) the i-50 source id
+        candidates = [iid]
+        try:
+            i = int(iid[3:])
+            if i >= 50 and i % 100 in (57, 83):
+                candidates.append(f"img{i - 50:010d}")
+        except ValueError:
+            pass
+        best = -1.0
+        for src in candidates:
+            ref = make_pixels(iid, int(ww), int(hh)) if src == iid else make_pixels(
+                iid, int(ww), int(hh), dup_of=src
+            )
+            if f == "png":
+                if (px == ref).all():
+                    break
+            else:
+                best = max(best, psnr(ref, px))
+                if best >= 40.0:
+                    break
+        else:
+            return "pixels-mismatch" if f == "png" else f"psnr-low:{best:.1f}"
+        # caption equality vs the deterministic generator contract
+        try:
+            i = int(iid[3:])
+            src_i = i - 50 if (i >= 50 and i % 100 in (57, 83)) else i
+            if cap != _caption_for(src_i):
+                return "caption-mismatch"
+        except ValueError:
+            if cap is None:
+                return "caption-mismatch"
+        return None
+
+    return pd.Series(
+        [one(*args) for args in zip(image_id, data, fmt, w, h, caption)],
+        dtype=object,
+    )
+
+
+def non_ascii_ratio(col: Column) -> Column:
+    """Share of non-ASCII characters (C14, WebCrawler.java:232-237)."""
+    total = F.length(col)
+    ascii_only = F.length(F.regexp_replace(col, r"[^\x00-\x7F]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        (total - ascii_only).cast("double") / total
+    )
+
+
+def language_gate(df: DataFrame, text_col: str = "caption",
+                  max_non_ascii: float = 0.1) -> DataFrame:
+    """Annotate `lang_ok` — JVM-side, no UDF (C14)."""
+    return df.withColumn("lang_ok", non_ascii_ratio(F.col(text_col)) <= max_non_ascii)

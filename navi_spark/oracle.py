@@ -1,0 +1,184 @@
+"""Single-process Python oracle for crawl parity (SURVEY.md §5, north rule).
+
+Implements EXACTLY the wave linearization documented in
+`navi_spark.operators.frontier` — same ordering keys, same budget
+arithmetic, same skip semantics — with plain dicts/lists/sets. The pytest
+suite runs the Spark engine and this oracle on the same synthetic universe
+and asserts bit-equal visit order, seen set, per-host counts and budget.
+
+With ``wave_budget=1`` this degenerates to the reference's sequential
+min-heap pop order (rank asc, url tiebreak — crawler/WebCrawler.java:63,
+Url.java:250-253), so the sequential semantics are covered by the same code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from navi_spark.functions.urlnorm import host_of_py, normalize_url_py
+from navi_spark.operators.robots import is_allowed_py, parse_robots_txt
+from navi_spark.sources import datagen
+
+
+@dataclass
+class OracleConfig:
+    max_depth: int = 5
+    max_pages: int = 6000
+    max_pages_per_domain: int = 10
+    wave_budget: int = 1000
+    max_waves: int = 10_000
+
+
+@dataclass
+class OracleResult:
+    visit_order: list[tuple[int, str]] = field(default_factory=list)  # (wave, url)
+    seen: set[str] = field(default_factory=set)
+    pages: list[dict] = field(default_factory=list)
+    host_counts: dict[str, int] = field(default_factory=dict)
+    budget_consumed: int = 0
+    waves: int = 0
+
+
+def crawl_oracle(
+    seeds: list[str],
+    web: dict[str, tuple[str, list[str]]],       # url -> (image_id, raw children)
+    images: dict[str, tuple[int, str]],          # image_id -> (phash, caption)
+    robots: dict[str, list[tuple[str, str]]],    # host -> parsed '*' rules
+    cfg: OracleConfig,
+) -> OracleResult:
+    res = OracleResult()
+    # frontier rows: (url, rank, depth); duplicates allowed
+    frontier: list[tuple[str, float, int]] = []
+    for s in seeds:
+        u = normalize_url_py(s)
+        if u is not None:
+            frontier.append((u, 1.0, 0))
+
+    phash_seen: set[int] = set()
+
+    for wave in range(1, cfg.max_waves + 1):
+        remaining_global = cfg.max_pages - res.budget_consumed
+        if not frontier or remaining_global <= 0:
+            break
+        res.waves = wave
+
+        # 1. within-frontier dedup: min (rank, depth) per url
+        best: dict[str, tuple[float, int]] = {}
+        for url, rank, depth in frontier:
+            cur = best.get(url)
+            if cur is None or (rank, depth) < cur:
+                best[url] = (rank, depth)
+        cand = [(u, r, d) for u, (r, d) in best.items()]
+
+        # 2. seen check
+        new = [(u, r, d) for u, r, d in cand if u not in res.seen]
+
+        # 3. politeness: per host, (rank, url) order, first `remaining` only;
+        #    the rest are dropped (pop-time discard)
+        by_host: dict[str, list[tuple[str, float, int]]] = {}
+        for u, r, d in new:
+            by_host.setdefault(host_of_py(u), []).append((u, r, d))
+        sel: list[tuple[str, float, int]] = []
+        for host, rows in by_host.items():
+            remaining = cfg.max_pages_per_domain - res.host_counts.get(host, 0)
+            rows.sort(key=lambda t: (t[1], t[0]))
+            sel.extend(rows[: max(remaining, 0)])
+
+        # 4. global budget: (rank, url) order, first k attempt; rest stay
+        sel.sort(key=lambda t: (t[1], t[0]))
+        k = min(remaining_global, cfg.wave_budget)
+        attempts, leftover = sel[:k], sel[k:]
+
+        successes: list[tuple[str, float, int]] = []
+        expansions: list[tuple[str, float, int]] = []
+        for u, r, d in attempts:
+            # 5. depth quirk: consumes budget, yields nothing
+            if d > cfg.max_depth:
+                res.budget_consumed += 1
+                continue
+            # 6. robots
+            host = host_of_py(u)
+            if not is_allowed_py(u, robots.get(host, [])):
+                continue
+            # 7. fetch + validate + language gate
+            hit = web.get(u)
+            if hit is None:
+                continue
+            image_id, children_raw = hit
+            img = images.get(image_id)
+            if img is None:
+                continue  # dangling image = fetch failure
+            phash, caption = img
+            if caption and sum(ord(c) > 127 for c in caption) / len(caption) > 0.1:
+                continue  # C14
+            # 8. content dedup, order-aware (attempts iterate in (rank,url))
+            if phash in phash_seen:
+                continue
+            # 9. success
+            phash_seen.add(phash)
+            res.seen.add(u)
+            res.host_counts[host] = res.host_counts.get(host, 0) + 1
+            res.budget_consumed += 1
+            children_norm = []
+            if d < cfg.max_depth:
+                for c in children_raw:
+                    n = normalize_url_py(c)
+                    if n is not None:
+                        children_norm.append(n)
+            res.pages.append(
+                {
+                    "url": u, "image_id": image_id, "phash": phash,
+                    "caption": caption, "depth": d, "rank": r,
+                    "host": host, "wave_id": wave, "children": children_norm,
+                }
+            )
+            successes.append((u, r, d))
+            for c in children_norm:
+                expansions.append((c, 1.0, d + 1))
+
+        # 10. expansion filtering mirrors the engine: not-seen (post-wave)
+        #     and host-still-open (post-wave counts)
+        expansions = [
+            (u, r, d)
+            for u, r, d in expansions
+            if u not in res.seen
+            and res.host_counts.get(host_of_py(u), 0) < cfg.max_pages_per_domain
+        ]
+        frontier = leftover + expansions
+
+        if res.budget_consumed >= cfg.max_pages:
+            break
+
+    # visit order: (wave, rank, url) — all ranks are 1.0 pre-PageRank
+    res.visit_order = [(p["wave_id"], p["url"]) for p in res.pages]
+    res.visit_order.sort(key=lambda t: (t[0], t[1]))
+    return res
+
+
+def build_oracle_inputs(
+    n_urls: int, n_hosts: int, n_images: int | None = None
+) -> tuple[dict, dict, dict]:
+    """(web, images, robots) dicts from the same deterministic generators the
+    Spark tables come from — NO Spark required."""
+    n_images = n_images if n_images is not None else n_urls
+    web = {}
+    for i in range(n_urls):
+        image_id = (
+            f"imgmissing{i:07d}"
+            if datagen.fetch_fails(i)
+            else f"img{i % n_images:010d}"
+        )
+        web[datagen.canonical_url(i, n_hosts)] = (
+            image_id,
+            datagen.children_dirty(i, n_urls, n_hosts),
+        )
+    images = {}
+    for i in range(n_images):
+        phash, caption = datagen.image_phash_caption(i)
+        images[f"img{i:010d}"] = (phash, caption)
+    robots = {}
+    for h in range(n_hosts):
+        txt = datagen.robots_txt_for(h)
+        if txt is not None:
+            robots[datagen.canonical_host(h)] = parse_robots_txt(txt)
+    return web, images, robots

@@ -1,0 +1,937 @@
+"""Operator queries + ANSI-SQL oracle twins (the driver correctness gate).
+
+Each entry maps one operator from SURVEY.md §2 onto the driver-provided
+tables (`TESTDATA.md`): the Spark callable is the engine's idiomatic plan,
+the SQL string is the semantically-equivalent DuckDB query the driver runs
+side-by-side at sf=0.01. Column names/aliases match exactly; every computed
+double is rounded identically on both sides (driver hashes values).
+
+Names carry the SURVEY operator codes (c3_, i5_, r3_, ...) so coverage is
+auditable line-by-line against SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "as")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, word): lowercase, strip non-letters, split (I3)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.regexp_replace(F.lower("text"), "[^a-z\\s]", ""), "\\s+")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+
+
+_TOKENS_SQL = """
+    SELECT doc_id, w AS word
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(
+                     regexp_replace(lower(text), '[^a-z\\s]', '', 'g'),
+                     '\\s+')) AS w
+          FROM documents) u
+    WHERE w <> ''
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {}
+
+
+def _q(name: str, sql: Optional[str]):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+# ---------------------------------------------------------------------------
+# crawler family (C1-C23) — URL universe synthesized from `documents`
+# ---------------------------------------------------------------------------
+
+@_q(
+    "c3_url_normalize",
+    """
+    SELECT doc_id,
+           'https://' || lower(source) || '.test/d/' || doc_id AS url_norm
+    FROM documents
+    """,
+)
+def c3_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: canonicalization (builtin fast path) of dirty URL spellings.
+    The oracle states the expected canonical form directly."""
+    from navi_spark.functions.urlnorm import normalize_url_expr
+
+    d = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("HTTPS://WWW."), F.upper("source"), F.lit(".TEST:443/D/"),
+        F.col("doc_id").cast("string"), F.lit("/?q=1&utm=x"),
+    )
+    return d.select(
+        "doc_id", normalize_url_expr(dirty).alias("url_norm")
+    )
+
+
+@_q(
+    "c4_host_extract",
+    """
+    SELECT lower(source) || '.test' AS host, CAST(count(*) AS BIGINT) AS n_urls
+    FROM documents GROUP BY 1
+    """,
+)
+def c4_host_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: host extraction + per-host counts."""
+    from navi_spark.functions.urlnorm import host_expr
+
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.lower("source"), F.lit(".test/d/"),
+                   F.col("doc_id").cast("string"))
+    return (
+        d.select(host_expr(url).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+@_q(
+    "c5_frontier_priority",
+    """
+    SELECT user_id, event_id, ROUND(value, 6) AS rank, rn
+    FROM (SELECT user_id, event_id, value,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                                         ORDER BY value, event_id) AS BIGINT) AS rn
+          FROM events) t
+    WHERE rn <= 3
+    """,
+)
+def c5_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: the window-ranked priority queue — lowest-rank-first per key."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.round("value", 6).alias("rank"), "rn")
+    )
+
+
+@_q(
+    "c6_depth_filter",
+    """
+    SELECT CAST(event_id % 8 AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_id % 8 <= 5 GROUP BY 1
+    """,
+)
+def c6_depth_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: BFS depth-limit filter."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn("depth", (F.col("event_id") % 8).cast("long"))
+        .filter(F.col("depth") <= 5)
+        .groupBy("depth")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "c7_global_budget",
+    """
+    SELECT event_id, ROUND(value, 6) AS rank
+    FROM events ORDER BY value, event_id LIMIT 100
+    """,
+)
+def c7_global_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: global page budget = distributed TakeOrdered head of the queue."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.orderBy("value", "event_id")
+        .limit(100)
+        .select("event_id", F.round("value", 6).alias("rank"))
+    )
+
+
+@_q(
+    "c8_domain_cap",
+    """
+    SELECT source AS host, doc_id
+    FROM (SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents) t
+    WHERE rn <= 10
+    """,
+)
+def c8_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: per-domain politeness cap as a per-host row_number window."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("source").alias("host"), "doc_id")
+    )
+
+
+@_q(
+    "c9_seen_antijoin",
+    """
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM documents s
+                      WHERE s.doc_id % 7 = 3 AND s.doc_id = d.doc_id)
+    """,
+)
+def c9_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: URL-seen set as a left_anti join against the `seen` table."""
+    d = load(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    return d.join(seen, on="doc_id", how="left_anti").select("doc_id")
+
+
+@_q(
+    "c14_language_filter",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_pass
+    FROM documents
+    WHERE (length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')))
+          <= 0.1 * length(text)
+    GROUP BY lang
+    """,
+)
+def c14_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: ≤10% non-ASCII gate (WebCrawler.java:232-237)."""
+    from navi_spark.operators.fetch import non_ascii_ratio
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(non_ascii_ratio(F.col("text")) <= 0.1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_pass"))
+    )
+
+
+@_q(
+    "c15_content_dedup",
+    """
+    SELECT doc_id, md5(text) AS content_hash
+    FROM (SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def c15_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15: content-hash dedup, keep-first (HashingManager.java:21-56)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash"))
+    )
+
+
+@_q(
+    "c16_link_expansion",
+    """
+    WITH n AS (SELECT count(*) AS n FROM documents)
+    SELECT DISTINCT CAST(child AS BIGINT) AS child_id
+    FROM (SELECT (doc_id * 7 + 1) % (SELECT n FROM n) AS child FROM documents
+          UNION ALL
+          SELECT (doc_id * 13 + 3) % (SELECT n FROM n) FROM documents) t
+    """,
+)
+def c16_link_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16: link extraction → frontier expansion (explode + distinct)."""
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    return (
+        d.select(
+            F.explode(
+                F.array((F.col("doc_id") * 7 + 1) % n,
+                        (F.col("doc_id") * 13 + 3) % n)
+            ).alias("child_id")
+        )
+        .distinct()
+    )
+
+
+@_q(
+    "c17_parent_agg",
+    """
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    e AS (SELECT doc_id AS parent, (doc_id * 7 + 1) % (SELECT n FROM n) AS child
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 13 + 3) % (SELECT n FROM n) FROM documents)
+    SELECT CAST(child AS BIGINT) AS child_id,
+           CAST(count(*) AS BIGINT) AS n_parents,
+           CAST(min(parent) AS BIGINT) AS min_parent,
+           CAST(max(parent) AS BIGINT) AS max_parent
+    FROM e GROUP BY child
+    """,
+)
+def c17_parent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17: reverse-edge aggregation ($addToSet parent, DBManager.java:938)."""
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("parent"),
+        F.explode(
+            F.array((F.col("doc_id") * 7 + 1) % n, (F.col("doc_id") * 13 + 3) % n)
+        ).alias("child_id"),
+    )
+    return edges.groupBy("child_id").agg(
+        F.count("*").alias("n_parents"),
+        F.min("parent").alias("min_parent"),
+        F.max("parent").alias("max_parent"),
+    )
+
+
+@_q(
+    "c21_recrawl_order",
+    """
+    SELECT doc_id, n_chars FROM documents
+    ORDER BY n_chars DESC, doc_id LIMIT 50
+    """,
+)
+def c21_recrawl_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21: recrawl scheduling — rank-descending scan (DBManager.java:948)."""
+    d = load(spark, sf_dir, "documents")
+    return d.orderBy(F.desc("n_chars"), "doc_id").limit(50).select("doc_id", "n_chars")
+
+
+def _pagerank_sql(iters: int = 10) -> str:
+    parts = [
+        "WITH n AS (SELECT count(*) AS n FROM documents)",
+        """e AS (SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM n) AS dst
+                 FROM documents
+                 UNION ALL
+                 SELECT doc_id, (doc_id * 13 + 3) % (SELECT n FROM n) FROM documents)""",
+        "r0 AS (SELECT doc_id AS node, 1.0 / (SELECT n FROM n) AS rank FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS (
+              SELECT d.doc_id AS node,
+                     0.15 + 0.85 * COALESCE(s.contrib, 0.0) AS rank
+              FROM documents d
+              LEFT JOIN (SELECT e.dst AS node, SUM(r{i-1}.rank / 2) AS contrib
+                         FROM e JOIN r{i-1} ON e.src = r{i-1}.node
+                         GROUP BY e.dst) s
+              ON d.doc_id = s.node)"""
+        )
+    header = parts[0] + ",\n" + ",\n".join(parts[1:])
+    return (
+        header
+        + f"\nSELECT node, ROUND(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+@_q("c23_pagerank", _pagerank_sql(10))
+def c23_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23: 10-iteration PageRank, d=0.85, rank = 0.15 + 0.85·Σ(r/outdeg),
+    outdeg fixed 2 (reference formula at DBManager.java:1051-1172 — note
+    0.15 + 0.85·Σ, NOT 0.15/N)."""
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array((F.col("doc_id") * 7 + 1) % n, (F.col("doc_id") * 13 + 3) % n)
+        ).alias("dst"),
+    ).cache()
+    nodes = d.select(F.col("doc_id").alias("node"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(10):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / 2).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit(0.15) + 0.85 * F.coalesce(F.col("contrib"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)  # cut the iterative lineage
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# indexer family (I1-I8)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "i3_tokenize",
+    f"SELECT word, CAST(count(*) AS BIGINT) AS tf FROM ({_TOKENS_SQL}) GROUP BY word",
+)
+def i3_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: lowercase, strip non-letters, whitespace split (Indexer.java:168)."""
+    return _tokens(spark, sf_dir).groupBy("word").agg(F.count("*").alias("tf"))
+
+
+@_q(
+    "i2_stopword_filter",
+    f"""
+    SELECT word, CAST(count(*) AS BIGINT) AS tf
+    FROM ({_TOKENS_SQL}) WHERE word NOT IN ({_STOP_SQL}) GROUP BY word
+    """,
+)
+def i2_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2: stopword removal (Indexer.java:98-110) — broadcast isin filter."""
+    return (
+        _tokens(spark, sf_dir)
+        .filter(~F.col("word").isin(*STOPWORDS))
+        .groupBy("word")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+@_q(
+    "i5_posting_tf",
+    f"""
+    SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf
+    FROM ({_TOKENS_SQL}) GROUP BY word, doc_id HAVING count(*) >= 2
+    """,
+)
+def i5_posting_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5: per-(word, doc) term frequency — the posting build
+    (Indexer.java:120-166). HAVING keeps result compact."""
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .filter(F.col("tf") >= 2)
+    )
+
+
+@_q(
+    "i6_field_lengths",
+    f"""
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len
+    FROM ({_TOKENS_SQL}) GROUP BY doc_id
+    """,
+)
+def i6_field_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6: per-doc token counts (Indexer.java:71-96)."""
+    return _tokens(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("doc_len")
+    )
+
+
+@_q(
+    "i8_field_totals",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT word) AS BIGINT) AS distinct_words
+    FROM ({_TOKENS_SQL})
+    """,
+)
+def i8_field_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8: global field totals (DBManager.java:312-343) — one-row aggregate."""
+    return _tokens(spark, sf_dir).agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("word").alias("distinct_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ranker family (R1-R12)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "r1_document_frequency",
+    f"""
+    SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM ({_TOKENS_SQL}) GROUP BY word
+    """,
+)
+def r1_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: document frequency per term (DBManager.java:195-222)."""
+    return _tokens(spark, sf_dir).groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+
+
+@_q(
+    "r2_idf",
+    f"""
+    WITH df AS (SELECT word, count(DISTINCT doc_id) AS df FROM ({_TOKENS_SQL}) GROUP BY word),
+         n AS (SELECT count(*) AS n FROM documents)
+    SELECT word, ROUND(log10(((SELECT n FROM n) - df + 0.5) / (df + 0.5)), 6) AS idf
+    FROM df
+    WHERE log10(((SELECT n FROM n) - df + 0.5) / (df + 0.5)) > 0
+    """,
+)
+def r2_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: BM25 IDF, positive-only (Ranker.java:285-301, skip at :230-232)."""
+    n = load(spark, sf_dir, "documents").count()
+    df = _tokens(spark, sf_dir).groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.log10((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    return df.withColumn("_idf", idf).filter(F.col("_idf") > 0).select(
+        "word", F.round("_idf", 6).alias("idf")
+    )
+
+
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+@_q(
+    "r3_bm25",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}),
+    n AS (SELECT count(*) AS n FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+    avgdl AS (SELECT avg(doc_len) AS avgdl FROM dl),
+    tf AS (SELECT word, doc_id, count(*) AS tf FROM toks
+           WHERE word IN ({_BM25_TERMS_SQL}) GROUP BY word, doc_id),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks
+           WHERE word IN ({_BM25_TERMS_SQL}) GROUP BY word),
+    idf AS (SELECT word, log10(((SELECT n FROM n) - df + 0.5) / (df + 0.5)) AS idf
+            FROM df)
+    SELECT tf.doc_id,
+           ROUND(SUM(idf.idf * tf.tf * 2.5 /
+                     (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.doc_len /
+                                     (SELECT avgdl FROM avgdl)))), 6) AS score
+    FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
+    GROUP BY tf.doc_id
+    """,
+)
+def r3_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: BM25 (k=1.5, b=0.75 — Ranker.java:133) summed over query terms.
+    (Single-field variant; the reference's per-term overwrite bug at
+    Ranker.java:268 is deliberately FIXED here — scores sum over terms.)"""
+    toks = _tokens(spark, sf_dir).cache()
+    n = load(spark, sf_dir, "documents").count()
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    avgdl = dl.agg(F.avg("doc_len")).collect()[0][0]
+    qt = toks.filter(F.col("word").isin(*_BM25_TERMS))
+    tf = qt.groupBy("word", "doc_id").agg(F.count("*").alias("tf"))
+    df = qt.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df.select(
+        "word",
+        F.log10((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+    )
+    k, b = 1.5, 0.75
+    scored = (
+        tf.join(idf, "word")
+        .join(dl, "doc_id")
+        .withColumn(
+            "term_score",
+            F.col("idf") * F.col("tf") * (k + 1.0)
+            / (F.col("tf") + k * (1 - b + b * F.col("doc_len") / F.lit(avgdl))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("score")
+    )
+
+
+@_q(
+    "r8_hybrid_topk",
+    f"""
+    WITH rel AS (SELECT doc_id, count(*) AS tf FROM ({_TOKENS_SQL})
+                 WHERE word = 'spark' GROUP BY doc_id)
+    SELECT d.doc_id,
+           ROUND(0.7 * COALESCE(rel.tf, 0) + 0.3 * (d.doc_id % 100) / 100.0, 6)
+               AS score
+    FROM documents d LEFT JOIN rel USING (doc_id)
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def r8_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8: hybrid 0.7·relevance + 0.3·popularity, top-k (Ranker.java:37-38)."""
+    d = load(spark, sf_dir, "documents")
+    rel = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("word") == "spark")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        d.join(rel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                0.7 * F.coalesce(F.col("tf"), F.lit(0))
+                + 0.3 * (F.col("doc_id") % 100) / 100.0,
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+_PHRASE = r"\bkey\s+agg\b"
+
+@_q(
+    "r10_phrase_scan",
+    f"SELECT doc_id FROM documents WHERE regexp_matches(text, '{_PHRASE}')",
+)
+def r10_phrase_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10: phrase regex candidate scan (DBManager.java:755-780)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.col("text").rlike(_PHRASE)).select("doc_id")
+
+
+@_q(
+    "r11_phrase_score",
+    f"""
+    SELECT doc_id,
+           ROUND(CAST(len(regexp_extract_all(text, '{_PHRASE}')) AS DOUBLE)
+                 / len(string_split_regex(text, '\\s+')), 6) AS phrase_score
+    FROM documents WHERE regexp_matches(text, '{_PHRASE}')
+    """,
+)
+def r11_phrase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: phrase frequency / field length (Ranker.java:324-407)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").rlike(_PHRASE))
+        .select(
+            "doc_id",
+            F.round(
+                F.regexp_count("text", F.lit(_PHRASE)).cast("double")
+                / F.size(F.split("text", "\\s+")),
+                6,
+            ).alias("phrase_score"),
+        )
+    )
+
+
+@_q(
+    "r12_boolean_combine",
+    r"""
+    SELECT doc_id FROM documents WHERE regexp_matches(text, '\bspark\b')
+    INTERSECT
+    SELECT doc_id FROM documents WHERE regexp_matches(text, '\bmerge\b')
+    EXCEPT
+    SELECT doc_id FROM documents WHERE regexp_matches(text, '\bwindow\b')
+    """,
+)
+def r12_boolean_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12: boolean phrase algebra — AND=intersect, NOT=except
+    (Ranker.java:410-598), left-to-right."""
+    d = load(spark, sf_dir, "documents")
+
+    def docs(rx):
+        return d.filter(F.col("text").rlike(rx)).select("doc_id")
+
+    return docs(r"\bspark\b").intersect(docs(r"\bmerge\b")).subtract(
+        docs(r"\bwindow\b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline extras: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+        SELECT doc_id, w AS word, pos
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(
+                         regexp_replace(lower(text), '[^a-z\\s]', '', 'g'),
+                         '\\s+')) AS w,
+                     unnest(range(len(string_split_regex(
+                         regexp_replace(lower(text), '[^a-z\\s]', '', 'g'),
+                         '\\s+')))) AS pos
+              FROM documents WHERE doc_id < 80) t
+        WHERE w <> ''
+    ),
+    sh AS (SELECT DISTINCT a.doc_id,
+                  a.word || ' ' || b.word AS shingle
+           FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    pair AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                    count(*) AS inter
+             FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             GROUP BY x.doc_id, y.doc_id),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pair JOIN sz sa ON pair.doc_a = sa.doc_id
+              JOIN sz sb ON pair.doc_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: 2-gram shingle Jaccard over doc pairs ≥0.05.
+
+    NOTE on positions: word positions come from the tokenizer's split order;
+    both sides derive them from the same split (DuckDB's row_number over the
+    unnest preserves array order per doc)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    words = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z\\s]", ""), "\\s+")
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    a = words.alias("a")
+    b = words.alias("b")
+    sh = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("b.pos") == F.col("a.pos") + 1))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat_ws(" ", "a.word", "b.word").alias("shingle"),
+        )
+        .distinct()
+    )
+    x = sh.alias("x")
+    y = sh.alias("y")
+    pair = (
+        x.join(y, (F.col("x.shingle") == F.col("y.shingle"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    jac = (
+        pair.join(sz.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n", "na"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard_raw",
+            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard_raw") >= 0.05)
+    )
+    return jac.select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+@_q(
+    "sim_cosine_brute",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    flat AS (SELECT vec_id,
+                    CAST(unnest(embedding) AS DOUBLE) AS v,
+                    unnest(range(len(embedding))) AS i
+             FROM embeddings),
+    qflat AS (SELECT CAST(unnest(qe) AS DOUBLE) AS qv,
+                     unnest(range(len(qe))) AS i FROM q)
+    SELECT f.vec_id,
+           ROUND(SUM(f.v * qf.qv)
+                 / (SQRT(SUM(f.v * f.v)) * SQRT(SUM(qf.qv * qf.qv))), 4)
+               AS cos_sim
+    FROM flat f JOIN qflat qf USING (i)
+    GROUP BY f.vec_id
+    """,
+)
+def sim_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search baseline: brute-force cosine against one query
+    vector, JVM-side (posexplode + hash agg — no UDF)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "qv")
+    )
+    flat = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),
+    )
+    return (
+        flat.join(q, "i")
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("v") * F.col("qv"))
+                / (F.sqrt(F.sum(F.col("v") * F.col("v")))
+                   * F.sqrt(F.sum(F.col("qv") * F.col("qv")))),
+                4,
+            ).alias("cos_sim")
+        )
+    )
+
+
+@_q(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           ROUND(
+             0.5 * LEAST(n_chars / 500.0, 1.0)
+             + 0.5 * (len(string_split_regex(text, '\\s+'))
+                      - len(list_filter(string_split_regex(text, '\\s+'),
+                            w -> w = 'the' OR w = 'a' OR w = 'of'
+                                 OR w = 'and' OR w = 'to')))
+                   / len(string_split_regex(text, '\\s+')), 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality: length + non-stopword ratio blend (pipeline extra)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), "\\s+")
+    # stopword OCCURRENCES (not distinct) via a higher-order filter
+    n_stop_occ = F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "of", "and", "to"))
+    )
+    return d.select(
+        "doc_id",
+        F.round(
+            0.5 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+            + 0.5 * (F.size(words) - n_stop_occ) / F.size(words),
+            6,
+        ).alias("quality"),
+    )
+
+
+@_q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower("text"), "\\s+", " ").cast("binary")
+        ).alias("fingerprint"),
+    )
+
+
+@_q(
+    "ev_hourly_rollup",
+    """
+    SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed rollup over the event stream (micro-batch analog of the
+    crawl wave metrics)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@_q(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational coverage: TPC-H Q1-style pricing summary."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("2001-01-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                    ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "crawl_wave_schedule",
+    """
+    WITH frontier AS (
+        SELECT 'https://' || lower(source) || '.test/d/' || doc_id AS url,
+               lower(source) || '.test' AS host,
+               (doc_id % 97) / 97.0 AS rank,
+               doc_id
+        FROM documents
+    ),
+    unseen AS (
+        SELECT * FROM frontier WHERE doc_id % 7 <> 3
+    ),
+    capped AS (
+        SELECT url, host, rank,
+               row_number() OVER (PARTITION BY host ORDER BY rank, url) AS host_rn
+        FROM unseen QUALIFY host_rn <= 10
+    )
+    SELECT url, host, ROUND(rank, 6) AS rank, CAST(host_rn AS BIGINT) AS host_rn
+    FROM capped ORDER BY rank, url LIMIT 50
+    """,
+)
+def crawl_wave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: one frontier scheduling wave — seen anti-join (C9) +
+    per-host politeness window (C8) + global budget TakeOrdered (C5/C7) —
+    the same plan the CrawlEngine runs per wave, on driver tables."""
+    d = load(spark, sf_dir, "documents")
+    frontier = d.select(
+        F.concat(F.lit("https://"), F.lower("source"), F.lit(".test/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lower("source"), F.lit(".test")).alias("host"),
+        ((F.col("doc_id") % 97) / 97.0).alias("rank"),
+        "doc_id",
+    )
+    seen = frontier.filter(F.col("doc_id") % 7 == 3).select("url")
+    unseen = frontier.join(seen, "url", "left_anti")
+    w = Window.partitionBy("host").orderBy("rank", "url")
+    capped = unseen.withColumn("host_rn", F.row_number().over(w).cast("long")).filter(
+        F.col("host_rn") <= 10
+    )
+    return (
+        capped.orderBy("rank", "url")
+        .limit(50)
+        .select("url", "host", F.round("rank", 6).alias("rank"), "host_rn")
+    )

@@ -80,6 +80,20 @@ def _image_row(i: int) -> tuple[str, bytes, int, int, str, str, int]:
     return image_id, data, w, h, fmt, _caption_for(src), phash64(px)
 
 
+def image_phash_caption(i: int) -> tuple[int, str]:
+    """(phash, caption) of image i WITHOUT encoding — oracle fast path.
+    Must stay consistent with :func:`_image_row`."""
+    src = i
+    dup_of = None
+    if i >= 50 and i % 100 in _DUP_RESIDUES:
+        src = i - 50
+        dup_of = f"img{src:010d}"
+    w = _SIZES[int(_u01(src, 1) * 3)]
+    h = _SIZES[int(_u01(src, 2) * 3)]
+    px = make_pixels(f"img{i:010d}", w, h, dup_of=dup_of)
+    return phash64(px), _caption_for(src)
+
+
 def generate_images(spark: SparkSession, n: int, parts: int | None = None) -> DataFrame:
     """The ground Iceberg-shaped table of image+caption pairs (input_hint).
 
@@ -220,6 +234,57 @@ def generate_seeds(n_seeds: int, n_urls: int, n_hosts: int = 100) -> list[str]:
         # duplicate-after-normalization: dirty + canonical spellings of url 0
         seeds.append(canonical_url(0, n_hosts))
     return seeds
+
+
+WEB_SCHEMA = "url string, image_id string, children array<string>"
+
+
+def fetch_fails(i: int) -> bool:
+    """~3% of URLs have a dangling image reference → deterministic fetch
+    failure (stands in for the reference's HTTP errors/304s/non-HTML,
+    crawler/WebCrawler.java:175-230 null returns)."""
+    return _u01(i, 41) < 0.03
+
+
+def children_dirty(i: int, n_urls: int, n_hosts: int, max_children: int = 8) -> list[str]:
+    """Out-links in their RAW spellings — the frontier must canonicalize
+    them (reference normalizes during link extraction, WebCrawler.java:507)."""
+    k = int(_u01(i, 21) * (max_children + 1))
+    return [
+        dirty_url((i * 2654435761 + j * 40503 + 12345) % n_urls, n_hosts)
+        for j in range(k)
+    ]
+
+
+def generate_web(
+    spark: SparkSession,
+    n_urls: int,
+    n_hosts: int = 100,
+    n_images: int | None = None,
+    parts: int | None = None,
+) -> DataFrame:
+    """The synthetic fetchable web: ``(url, image_id, children)`` keyed by
+    CANONICAL url. ``image_id`` dangles for ~3% of rows (fetch failure);
+    children are dirty spellings closed over the URL universe."""
+    n_images = n_images if n_images is not None else n_urls
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            idx = [int(i) for i in b["id"]]
+            yield pd.DataFrame(
+                {
+                    "url": [canonical_url(i, n_hosts) for i in idx],
+                    "image_id": [
+                        f"imgmissing{i:07d}" if fetch_fails(i)
+                        else f"img{i % n_images:010d}"
+                        for i in idx
+                    ],
+                    "children": [children_dirty(i, n_urls, n_hosts) for i in idx],
+                }
+            )
+
+    rng = spark.range(n_urls, numPartitions=parts) if parts else spark.range(n_urls)
+    return rng.mapInPandas(gen, WEB_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
