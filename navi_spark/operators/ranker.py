@@ -1,0 +1,214 @@
+"""Ranking operators (reference ops R1-R14, Ranker/Ranker.java).
+
+All pure column algebra over the flat posting table + field lengths —
+the reference's per-term Mongo round-trips (R1 getDFs, R6 getFieldLengths,
+R7 getPageRanks) become joins inside one plan.
+
+Reference constants (Ranker.java:133,136,37-38): k=1.5, b=0.75; field
+weights h1 2.5 / h2 2.0 / a 1.5 / other 1.0; hybrid 0.7·relevance +
+0.3·popularity.
+
+Documented reference bug: Ranker.java:268 *overwrites* the per-doc score on
+each query term instead of accumulating (`relevanceScores.put`), so only
+the last term ever counts. `bm25f(..., last_term_overwrite=True)` reproduces
+it for parity experiments; the default sums over terms (the fix the survey
+§7 recommends flagging)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+K1 = 1.5
+B = 0.75
+FIELD_WEIGHTS = {"h1": 2.5, "h2": 2.0, "a": 1.5, "other": 1.0}
+HYBRID_RELEVANCE = 0.7
+HYBRID_POPULARITY = 0.3
+
+
+def document_frequency(postings: DataFrame) -> DataFrame:
+    """R1: df per word."""
+    return postings.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+
+
+def idf(postings: DataFrame, n_docs: int) -> DataFrame:
+    """R2: log10((N - df + 0.5)/(df + 0.5)), positive terms only
+    (Ranker.java:285-301; ≤0 skipped at :230-232)."""
+    df = document_frequency(postings)
+    expr = F.log10((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    return df.withColumn("idf", expr).filter(F.col("idf") > 0).select(
+        "word", "idf"
+    )
+
+
+def candidate_docs(postings: DataFrame, terms: Sequence[str]) -> DataFrame:
+    """R5 `commonDocs`: UNION (not intersection, despite the reference's
+    name — Ranker.java:174-216) of docs containing any query term."""
+    return (
+        postings.filter(F.col("word").isin(*terms))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def bm25f(
+    postings: DataFrame,
+    lengths: DataFrame,
+    terms: Sequence[str],
+    n_docs: int,
+    fields: Sequence[str] = ("h1", "h2", "a", "other"),
+    weights: dict[str, float] | None = None,
+    last_term_overwrite: bool = False,
+) -> DataFrame:
+    """R3: per-field weighted BM25, summed over fields then over terms.
+
+    score(term, doc) = Σ_f w_f · IDF · tf_f(k+1) / (tf_f + k(1−b+b·len_f/avg_f))
+    (Ranker.java:218-283). avg field lengths = global totals / N (R4)."""
+    weights = weights or FIELD_WEIGHTS
+    avg_row = lengths.agg(
+        *[F.avg(f"len_{f_}").alias(f_) for f_ in fields]
+    ).collect()[0]
+    avgs = {f_: (avg_row[f_] or 0.0) for f_ in fields}
+
+    qt = postings.filter(F.col("word").isin(*terms))
+    idf_df = idf(postings, n_docs)
+    j = qt.join(idf_df, "word").join(lengths, "doc_id")
+    per_field = None
+    for f_ in fields:
+        w = float(weights.get(f_, 1.0))
+        tf = F.col(f"tf_{f_}")
+        avg = max(avgs[f_], 1e-9)
+        num = tf * (K1 + 1.0)
+        den = tf + K1 * (1.0 - B + B * F.col(f"len_{f_}") / F.lit(avg))
+        term = F.lit(w) * F.col("idf") * num / den
+        per_field = term if per_field is None else per_field + term
+    scored = j.withColumn("term_score", per_field)
+    if last_term_overwrite:
+        # reference bug parity: the LAST query term (in `terms` order)
+        # present in the doc overwrites the doc's score (Ranker.java:268)
+        order = F.array_position(
+            F.array(*[F.lit(t) for t in terms]), F.col("word")
+        )
+        from pyspark.sql import Window
+
+        w_last = Window.partitionBy("doc_id").orderBy(F.desc(order))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w_last))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", F.col("term_score").alias("relevance"))
+        )
+    return scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("relevance")
+    )
+
+
+def hybrid_rank(
+    relevance: DataFrame, pages: DataFrame, limit: int | None = None
+) -> DataFrame:
+    """R7+R8: join PageRank popularity, 0.7/0.3 blend, sort desc.
+
+    pages must carry (url→doc_id key, rank). TakeOrderedAndProject when
+    `limit` is set — never a global sort for top-k."""
+    joined = relevance.join(
+        pages.select(F.col("url").alias("doc_id"), F.col("rank").alias("pop")),
+        "doc_id",
+        "left",
+    ).fillna({"pop": 0.0})
+    out = joined.select(
+        "doc_id",
+        (HYBRID_RELEVANCE * F.col("relevance")
+         + HYBRID_POPULARITY * F.col("pop")).alias("score"),
+    ).orderBy(F.desc("score"), "doc_id")
+    return out.limit(limit) if limit else out
+
+
+def phrase_regex(words: Sequence[str]) -> str:
+    """R9: \\bw1\\s+w2...\\b with quoted words (PhraseMatching.java:23-37)."""
+    import re as _re
+
+    return r"\b" + r"\s+".join(_re.escape(w) for w in words) + r"\b"
+
+
+def phrase_candidates(
+    pages: DataFrame, rx: str, text_cols: Sequence[str]
+) -> DataFrame:
+    """R10: regex OR-scan over the text fields (DBManager.java:755-780)."""
+    cond = None
+    for c in text_cols:
+        p = F.col(c).rlike(rx)
+        cond = p if cond is None else cond | p
+    return pages.filter(cond)
+
+
+def phrase_scores(
+    pages: DataFrame, rx: str,
+    field_cols: dict[str, str],
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """R11: per field, w_f · matches / field_len (Ranker.java:324-407) —
+    regexp_count + size(split) keep it JVM-side (no UDF)."""
+    weights = weights or FIELD_WEIGHTS
+    score = None
+    for name, col in field_cols.items():
+        w = float(weights.get(name, 1.0))
+        freq = F.regexp_count(F.col(col), F.lit(rx)).cast("double")
+        flen = F.size(F.split(F.col(col), "\\s+")).cast("double")
+        term = F.when(flen > 0, F.lit(w) * freq / flen).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return pages.select(
+        F.col("url").alias("doc_id"), score.alias("phrase_score")
+    ).filter(F.col("phrase_score") > 0)
+
+
+def boolean_combine(
+    universe: DataFrame,
+    scored: Sequence[DataFrame],
+    operators: Sequence[str],
+) -> DataFrame:
+    """R12: left-to-right AND/OR/NOT over (doc_id, score) sets
+    (Ranker.java:410-598; no precedence despite the comment at :500).
+
+    NOT x  = universe − docs(x), each scored 0.1   (:486-493)
+    a OR b = union, score = max                     (:543-553)
+    a AND b= intersection, score = (s_a + s_b)/2    (:554-572)
+    trailing NOT = set-minus                        (:577-587)
+    """
+    assert len(scored) == len(operators) + 1
+
+    def as_scored(df):
+        return df.select("doc_id", "score")
+
+    acc = as_scored(scored[0])
+    for op, nxt in zip(operators, scored[1:]):
+        op = op.upper()
+        nx = as_scored(nxt)
+        if op == "OR":
+            acc = (
+                acc.unionByName(nx)
+                .groupBy("doc_id")
+                .agg(F.max("score").alias("score"))
+            )
+        elif op == "AND":
+            acc = (
+                acc.withColumnRenamed("score", "s1")
+                .join(nx.withColumnRenamed("score", "s2"), "doc_id")
+                .select(
+                    "doc_id", ((F.col("s1") + F.col("s2")) / 2).alias("score")
+                )
+            )
+        elif op == "NOT":
+            acc = acc.join(nx.select("doc_id"), "doc_id", "left_anti")
+        else:
+            raise ValueError(f"unknown operator {op}")
+    return acc
+
+
+def not_docs(universe: DataFrame, docs: DataFrame) -> DataFrame:
+    """R12 unary NOT: universe − docs, scored 0.1 (Ranker.java:486-493)."""
+    return universe.select("doc_id").join(
+        docs.select("doc_id"), "doc_id", "left_anti"
+    ).withColumn("score", F.lit(0.1))

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (training-pipeline extra).
+
+Brute-force cosine top-k is the exactness baseline; the scale path is
+LSH-bucketed ANN (signed random projections): at 10^9+ vectors the
+hyperplane signature turns the all-pairs problem into bucket-local joins,
+and only bucket-mates pay the exact dot product.
+
+All vector math is JVM-side (`zip_with` + `aggregate` over array<double>)
+— no Python in the hot path. The batched variant uses one Arrow-batched
+pandas UDF with a numpy matmul for many-query workloads, where a single
+BLAS call beats per-row expression evaluation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_expr(a, b):
+    """cos(a, b) as a pure column expression (arrays of double)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    orderBy().limit() compiles to distributed TakeOrdered — each partition
+    keeps k candidates, the driver merges; no global sort shuffle."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def srp_signature(vec_col, dim: int, n_bits: int = 16, seed: int = 42):
+    """Signed-random-projection bucket id as a column expression.
+
+    The hyperplanes are deterministic (seeded numpy), folded into the plan
+    as literal arrays — broadcast once inside the plan, no side channel."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    sig = F.lit(0).cast("long")
+    v = vec_col.cast("array<double>")
+    for i in range(n_bits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        sig = sig.bitwiseOR(
+            F.when(_dot(v, plane) > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_bits: int = 12,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe the query's SRP bucket ± `probe_hamming`
+    bit flips, exact-score only the probed rows.
+
+    At 10^9 vectors the bucketed table is written partitioned by `bucket`
+    (partition pruning turns a query into a handful of partition reads);
+    here the filter achieves the same pruning in-memory."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    qsig = 0
+    qv = np.asarray(query_vec, dtype=np.float64)
+    for i in range(n_bits):
+        if float(planes[i] @ qv) > 0:
+            qsig |= 1 << i
+    probes = {qsig}
+    if probe_hamming >= 1:
+        probes |= {qsig ^ (1 << i) for i in range(n_bits)}
+    if probe_hamming >= 2:
+        probes |= {
+            qsig ^ (1 << i) ^ (1 << j)
+            for i in range(n_bits) for j in range(i + 1, n_bits)
+        }
+    bucketed = embeddings.withColumn(
+        "bucket", srp_signature(F.col(vec_col), dim, n_bits, seed)
+    )
+    cand = bucketed.filter(F.col("bucket").isin(*[int(p) for p in probes]))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def batched_knn(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Many-query exact kNN: broadcast the query matrix, one numpy matmul
+    per Arrow batch (mapInPandas), then a per-query top-k window.
+
+    This is the Pandas-UDF escape hatch for when the built-in expression
+    per-pair evaluation would be O(rows × queries × dim) scalar ops —
+    BLAS does the same work vectorized."""
+    spark = embeddings.sparkSession
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    q_ids = [r[q_id_col] for r in qrows]
+    qm = np.array([list(r[q_vec_col]) for r in qrows], dtype=np.float64)
+    qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, qm_n))
+
+    out_schema = f"{id_col} long, q_id long, cos_sim double"
+
+    def score(batches):
+        ids, qn = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            m = np.array([list(v) for v in b[vec_col]], dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ qn.T  # (rows, queries)
+            n_rows, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(b[id_col].to_numpy(), n_q),
+                    "q_id": np.tile(np.asarray(ids), n_rows),
+                    "cos_sim": sims.reshape(-1),
+                }
+            )
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), id_col)
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    ).drop("_rn")

@@ -935,3 +935,112 @@ def crawl_wave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("url", "host", F.round("rank", 6).alias("rank"), "host_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible operators (rows-only driver check; verified in pytest
+# against pure-Python references instead — SURVEY.md §5)
+# ---------------------------------------------------------------------------
+
+@_q("i4_porter_stem", None)
+def i4_porter_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4: Porter stemming (Arrow UDF) — distinct (word, stem) pairs.
+    DuckDB has no stemmer → rows-only; algorithm unit-tested in pytest."""
+    from navi_spark.functions.stemmer import porter_stem_udf
+
+    return (
+        _tokens(spark, sf_dir)
+        .select("word").distinct()
+        .withColumn("stem", porter_stem_udf("word"))
+        .orderBy("word")
+    )
+
+
+@_q("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs over documents (xxhash64 shingles — no
+    DuckDB twin). Verified in pytest vs exact Jaccard."""
+    from navi_spark.operators import dedup
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = dedup.shingles_df(d, "doc_id", "text", n=2)
+    sigs = dedup.minhash_signatures(sh, k=32)
+    return dedup.minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
+
+
+@_q("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dup pairs (Hamming ≤ 16) over documents."""
+    from navi_spark.operators import dedup
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sims = dedup.simhash64(d, "doc_id", "text")
+    return dedup.simhash_neardup_pairs(sims, max_hamming=16)
+
+
+@_q("sim_lsh_topk", None)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: SRP-bucketed multiprobe top-k (seeded planes)."""
+    from navi_spark.operators import similarity
+
+    e = load(spark, sf_dir, "embeddings")
+    first = e.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in first["embedding"]]
+    return similarity.lsh_topk(
+        e, q, dim=len(q), k=10, n_bits=8, probe_hamming=2
+    ).select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@_q("mm_image_features", None)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: decode→feature-extract over the synthetic image table
+    (binary payload plumbing; no driver-table twin possible)."""
+    from navi_spark.operators.multimodal import image_features
+    from navi_spark.sources.datagen import generate_images
+
+    imgs = generate_images(spark, 200, parts=8)
+    feats = image_features(imgs)
+    return feats.select(
+        "image_id",
+        F.round(F.aggregate(F.col("features"), F.lit(0.0),
+                            lambda a, v: a + v), 4).alias("feat_sum"),
+    )
+
+
+@_q("crawl_engine_e2e", None)
+def crawl_engine_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE end-to-end: bootstrap→waves→index_feed on a small
+    deterministic universe (the north-star handoff contract C24).
+    Deterministic output; parity vs the Python oracle is asserted in
+    tests/test_frontier.py."""
+    import shutil
+    import tempfile
+
+    from navi_spark.operators.frontier import CrawlConfig, CrawlEngine
+    from navi_spark.sources.datagen import (
+        generate_images,
+        generate_robots,
+        generate_seeds,
+        generate_web,
+    )
+
+    n_urls, n_hosts = 120, 8
+    web = generate_web(spark, n_urls, n_hosts)
+    images = generate_images(spark, n_urls)
+    robots = generate_robots(spark, n_hosts)
+    seeds = generate_seeds(5, n_urls, n_hosts)
+    workdir = tempfile.mkdtemp(prefix="navi-e2e-")
+    try:
+        eng = CrawlEngine(
+            spark, workdir, web, images, robots,
+            CrawlConfig(max_pages=20, max_pages_per_domain=3, wave_budget=10,
+                        n_host_partitions=4, salt_buckets=2),
+        )
+        eng.bootstrap(seeds)
+        eng.run(max_waves=10)
+        out = eng.index_feed().collect()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "url string, image_id string, phash long, caption string"
+    )

@@ -1,0 +1,148 @@
+"""Dedup + similarity operators vs pure-Python references."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from navi_spark.operators import dedup, similarity
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "completely different text about spark shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (4, "spark shuffles are completely different text about"),  # shuffled 2
+    (5, "one two three four five six seven eight nine ten"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "id long, text string").cache()
+
+
+def _py_shingles(text, n=3):
+    ws = [w for w in "".join(
+        c if c.isalpha() or c.isspace() else "" for c in text.lower()
+    ).split() if w]
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+
+def test_exact_dedup(docs_df):
+    out = dedup.exact_dedup(docs_df, "id", "text").collect()
+    ids = sorted(r["id"] for r in out)
+    assert ids == [0, 1, 2, 4, 5]  # 3 is the exact dup of 0
+
+
+def test_shingles_match_python(docs_df):
+    sh = dedup.shingles_df(docs_df, "id", "text", n=3)
+    counts = {
+        r["id"]: r["n"]
+        for r in sh.groupBy("id").agg(F.count("*").alias("n")).collect()
+    }
+    for i, text in DOCS:
+        assert counts.get(i, 0) == len(_py_shingles(text, 3)), i
+
+
+def test_ngram_jaccard(docs_df):
+    sh = dedup.shingles_df(docs_df, "id", "text", n=3).cache()
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(sh, threshold=0.4).collect()
+    }
+    a, b = _py_shingles(DOCS[0][1]), _py_shingles(DOCS[1][1])
+    expected = len(a & b) / len(a | b)
+    assert pairs[(0, 1)] == pytest.approx(expected)
+    assert (0, 3) in pairs and pairs[(0, 3)] == pytest.approx(1.0)
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    sh = dedup.shingles_df(docs_df, "id", "text", n=2).cache()
+    sigs = dedup.minhash_signatures(sh, k=32).cache()
+    # exact dups have identical signatures
+    sig_map = {r["id"]: tuple(r["sig"]) for r in sigs.collect()}
+    assert sig_map[0] == sig_map[3]
+    # near-dups agree on most minhashes (Jaccard estimate)
+    agree = np.mean([a == b for a, b in zip(sig_map[0], sig_map[1])])
+    assert agree >= 0.5
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(sigs, bands=16, rows_per_band=2).collect()
+    }
+    assert (0, 3) in pairs
+    assert (0, 1) in pairs  # near-dup lands in at least one shared band
+
+
+def test_simhash_properties(docs_df):
+    sims = {r["id"]: r["simhash"] for r in
+            dedup.simhash64(docs_df, "id", "text").collect()}
+    assert sims[0] == sims[3]  # identical text → identical simhash
+    ham01 = bin((sims[0] ^ sims[1]) & (2**64 - 1)).count("1")
+    ham02 = bin((sims[0] ^ sims[2]) & (2**64 - 1)).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_neardup_pairs(
+            spark_sims(docs_df), max_hamming=10
+        ).collect()
+    }
+    assert pairs[(0, 3)] == 0
+
+
+def spark_sims(docs_df):
+    return dedup.simhash64(docs_df, "id", "text")
+
+
+def test_brute_force_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    rows = emb.orderBy("vec_id").limit(20).collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+    topk = similarity.brute_force_topk(emb, q, k=5).collect()
+    # numpy reference over the full table
+    all_rows = emb.collect()
+    m = np.array([list(r["embedding"]) for r in all_rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in all_rows])
+    qv = np.asarray(q)
+    sims = (m @ qv) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
+    order = sorted(zip(-sims, ids))[:5]
+    expected = [int(i) for _, i in order]
+    assert [r["vec_id"] for r in topk] == expected
+    assert topk[0]["vec_id"] == rows[0]["vec_id"]  # self is nearest
+    assert topk[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    dim = len(emb.first()["embedding"])
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_topk(emb, q, k=5).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.lsh_topk(emb, q, dim, k=5, n_bits=4,
+                                  probe_hamming=2).collect()]
+    # deterministic (seeded planes): 4 bits + 2-bit multiprobe covers 11/16
+    # buckets → full recall on this fixture; the floor asserts ≥3 so a
+    # plane-generation change degrades loudly rather than silently
+    assert 3 in approx
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_batched_knn(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    dim = len(emb.first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    out = similarity.batched_knn(emb, queries, dim, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["cos_sim"]))
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        assert len(rows) == 3
+        top = max(rows, key=lambda t: t[1])
+        assert top[0] == qid and top[1] == pytest.approx(1.0)
