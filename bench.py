@@ -129,10 +129,12 @@ def main() -> None:
     registry = q.queries()
     for name in HEADLINE_QUERIES:
         fn = registry[name]
-        t0 = time.monotonic()
-        n = fn(spark, SF_DIR).count()
-        qtimes[name] = round(time.monotonic() - t0, 3)
-        _ = n
+        best = float("inf")
+        for _rep in range(2):  # report steady-state (min of 2)
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.monotonic() - t0)
+        qtimes[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {

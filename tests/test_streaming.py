@@ -56,9 +56,16 @@ def test_streaming_seen_filter_dedups_across_batches(spark, tmpdir):
 
 
 def test_streaming_rollup_matches_batch(spark, sf_dir, tmpdir):
+    import shutil as _sh
+
     events_path = f"{sf_dir}/events.parquet"
+    in_dir = f"{tmpdir}/in"  # the file stream source requires a DIRECTORY
+    import os as _os
+
+    _os.makedirs(in_dir)
+    _sh.copy(events_path, f"{in_dir}/events.parquet")
     batch = spark.read.parquet(events_path)
-    stream = spark.readStream.schema(batch.schema).parquet(events_path)
+    stream = spark.readStream.schema(batch.schema).parquet(in_dir)
     q = (
         streaming_hourly_rollup(stream)
         .writeStream.format("memory")
