@@ -52,8 +52,12 @@ def build_session(cpus: int) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("navi-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
+        # keep 64 post-shuffle partitions at every parallelism level: AQE
+        # coalescing would shrink the mid-stages to ~6 partitions (sized for
+        # 64MB), starving >8-core runs and corrupting the scaling comparison
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
@@ -62,12 +66,16 @@ def build_session(cpus: int) -> SparkSession:
     )
 
 
-def frontier_throughput(spark: SparkSession, n_urls: int, n_hosts: int) -> dict:
-    """The north-metric job: schedule + dedup a synthetic frontier."""
+def frontier_throughput(
+    spark: SparkSession, n_urls: int, n_hosts: int, parts: int = 64
+) -> dict:
+    """The north-metric job: schedule + dedup a synthetic frontier.
+
+    `parts` is FIXED (not derived from cores) so the job is byte-identical
+    across parallelism levels — the scaling-efficiency protocol compares
+    the same plan on the same input, varying only executor slots."""
     from navi_spark.functions.urlnorm import host_expr, normalize_url_udf
     from navi_spark.sources.datagen import generate_urls
-
-    parts = spark.sparkContext.defaultParallelism * 2
     raw = generate_urls(
         spark, n_urls, n_hosts=n_hosts, parts=parts, dirty=True,
         with_children=False,
@@ -123,6 +131,9 @@ def main() -> None:
 
     from navi_spark import queries as q
 
+    # warmup: fork the python workers + JIT the codegen paths once, so the
+    # measurement is steady-state throughput, not process cold-start
+    frontier_throughput(spark, 20_000, 50)
     fr = frontier_throughput(spark, N_URLS, N_HOSTS)
 
     qtimes: dict[str, float] = {}

@@ -214,11 +214,16 @@ def normalize_url_expr(col: Column) -> Column:
     """Catalyst-builtin canonicalizer for the percent-free subset.
 
     Expresses rules 1,3,5-8,10 of the reference pipeline as pure column
-    expressions (whole-stage-codegen friendly, and mirrorable in ANSI SQL for
-    the DuckDB oracle). Valid when the URL contains no percent-escapes, no
-    dot-segments, no '+', and no userinfo — which is what the synthetic URL
-    generator and the oracle queries emit. The pandas UDF above is the
-    general path; this is the JVM-side fast path.
+    expressions, mirrorable in ANSI SQL for the DuckDB oracle. Valid only
+    when the URL contains no percent-escapes, dot-segments, '+', or
+    userinfo.
+
+    PERFORMANCE NOTE (measured, 500k urls, local[32]): the Arrow-batched
+    pandas UDF is the HOT PATH at ~9µs/url (4.6s); this expression tree is
+    ~12× slower (57s) because the chained regexp derivations of
+    scheme/authority/host/path defeat common-subexpression elimination and
+    re-evaluate ~40 regex ops per row. Use this for SQL-oracle parity and
+    small inputs, `normalize_url_udf` for the data plane.
     """
     u = F.lower(F.trim(col))
     u = F.when(u.rlike("^https?://"), u).otherwise(F.concat(F.lit("https://"), u))

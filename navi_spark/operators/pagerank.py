@@ -1,0 +1,141 @@
+"""PageRank + recrawl over the crawled pages graph (reference C21-C23).
+
+PageRank reproduces the reference formula EXACTLY
+(`dbmanager/DBManager.java:1051-1172`):
+
+    init   rank = 1/N                         (:1093)
+    iter   contrib(child) += 0.85 · rank(parent)/outDegree   (:1110)
+           rank = 0.15 + 0.85·Σ — i.e. NOT normalized by N   (:1122)
+    outDegree floor 1 (:1103); 10 iterations, d = 0.85 (:1057,1067)
+    children lists may contain duplicates → duplicate edges contribute
+    twice (the reference pushes per list element)
+
+The reference scans Mongo in skip/limit batches of 200 per iteration; here
+each iteration is one join+agg, with `localCheckpoint` per iteration to cut
+the growing lineage (SURVEY.md §4.2). At 10^10 edges: pre-partition `edges`
+by src once and cache — every iteration reuses the same partitioning, so
+only `ranks` (small: one row per node) moves per iteration.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def edges_from_pages(pages: DataFrame) -> DataFrame:
+    """(src, dst) from the pages' children lists — duplicates preserved
+    (C17's explode; the reference pushes one contribution per list entry)."""
+    return pages.select(
+        F.col("url").alias("src"), F.explode("children").alias("dst")
+    )
+
+
+def out_degrees(pages: DataFrame) -> DataFrame:
+    """Out-degree with the reference's floor of 1 (DBManager.java:1103)."""
+    return pages.select(
+        F.col("url").alias("src"),
+        F.greatest(F.size("children"), F.lit(1)).alias("outdeg"),
+    )
+
+
+def pagerank(
+    pages: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """(url, rank) after `iterations` of the reference recurrence.
+
+    Ranks flow only along edges whose dst is itself a crawled page when the
+    caller wants closed-world semantics; the reference updates EVERY stored
+    doc and accumulates into child docs that exist in the collection —
+    contributions to never-crawled children are dropped by the inner join
+    with `nodes`, matching `updateOne(eq(url,...))` no-op behavior."""
+    nodes = pages.select(F.col("url").alias("node")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return pages.sparkSession.createDataFrame([], "url string, rank double")
+    edges = (
+        edges_from_pages(pages)
+        .join(out_degrees(pages), "src")
+        .repartition("src")  # one partitioning, reused every iteration
+        .cache()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iterations):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit(1 - damping)
+                 + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    edges.unpersist()
+    return ranks.select(F.col("node").alias("url"), "rank")
+
+
+def pagerank_py(
+    pages: list[dict], iterations: int = 10, damping: float = 0.85
+) -> dict[str, float]:
+    """Pure-Python oracle of the same recurrence (parity tests)."""
+    nodes = [p["url"] for p in pages]
+    node_set = set(nodes)
+    n = len(nodes)
+    if n == 0:
+        return {}
+    outdeg = {p["url"]: max(len(p["children"]), 1) for p in pages}
+    ranks = {u: 1.0 / n for u in nodes}
+    for _ in range(iterations):
+        contrib: dict[str, float] = {}
+        for p in pages:
+            u = p["url"]
+            for c in p["children"]:
+                if c in node_set:
+                    contrib[c] = contrib.get(c, 0.0) + ranks[u] / outdeg[u]
+        ranks = {
+            u: (1 - damping) + damping * contrib.get(u, 0.0) for u in nodes
+        }
+    return ranks
+
+
+def recrawl_order(pages: DataFrame) -> DataFrame:
+    """C21: freshness pass ordering — rank DESCENDING (highest-value pages
+    first; `DBManager.java:945-970` getAllUrlsSortedByRank). Note the
+    asymmetry with the frontier's rank-ASCENDING heap (C5) — both
+    reproduced deliberately."""
+    return pages.select("url", "rank", "phash").orderBy(
+        F.desc("rank"), "url"
+    )
+
+
+def detect_changes(
+    old_pages: DataFrame, new_fetch: DataFrame
+) -> DataFrame:
+    """C21 change detection: join previous snapshot on url, compare content
+    hash and children; unchanged → touch only, changed → update + flag
+    `link_structure_changed` (WebCrawler.java:652-761, `updateUrlIfChanged`
+    DBManager.java:1019-1049). Returns the MERGE source."""
+    old = old_pages.select(
+        "url",
+        F.col("phash").alias("old_phash"),
+        F.col("children").alias("old_children"),
+    )
+    j = new_fetch.join(old, "url", "inner")
+    return j.select(
+        "url", "phash", "children", "caption",
+        (F.col("phash") != F.col("old_phash")).alias("content_changed"),
+        (F.col("children") != F.col("old_children")).alias(
+            "link_structure_changed"
+        ),
+    )

@@ -1044,3 +1044,136 @@ def crawl_engine_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "url string, image_id string, phash long, caption string"
     )
+
+
+# ---------------------------------------------------------------------------
+# second coverage batch: R5/R13/R14/Q4, multi-field I5, robots C12
+# ---------------------------------------------------------------------------
+
+@_q(
+    "r5_candidate_union",
+    f"""
+    SELECT DISTINCT doc_id FROM ({_TOKENS_SQL})
+    WHERE word IN ('spark', 'merge', 'window')
+    """,
+)
+def r5_candidate_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 `commonDocs`: UNION of per-term doc sets (Ranker.java:174-216 —
+    a union despite the name)."""
+    return (
+        _tokens(spark, sf_dir)
+        .filter(F.col("word").isin("spark", "merge", "window"))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+@_q(
+    "r13_doc_count",
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents",
+)
+def r13_doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13: countDocuments (DBManager.java:184-193)."""
+    return load(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+
+
+@_q(
+    "r14_ordered_multiget",
+    """
+    WITH ids AS (
+        SELECT unnest([7, 3, 11, 5]) AS doc_id,
+               unnest(range(4)) AS pos
+    )
+    SELECT CAST(ids.pos AS INT) AS pos, d.doc_id, d.source
+    FROM ids JOIN documents d USING (doc_id)
+    """,
+)
+def r14_ordered_multiget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14: fetch docs by id list, re-ordered to the ranked position
+    (DBManager.java:169-182) — posexplode of the id list + join."""
+    d = load(spark, sf_dir, "documents")
+    ids = spark.range(1).select(
+        F.posexplode(F.array(F.lit(7), F.lit(3), F.lit(11), F.lit(5)))
+        .alias("pos", "doc_id")
+    )
+    return ids.join(d, "doc_id").select("pos", "doc_id", "source")
+
+
+@_q(
+    "q4_suggestions",
+    """
+    SELECT doc_id, text AS suggestion FROM documents
+    WHERE lower(text) LIKE '%spark window%'
+    ORDER BY doc_id LIMIT 5
+    """,
+)
+def q4_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: suggestion fetch — case-insensitive contains, limit 5
+    (DBManager.java:705-728; deterministic tiebreak added)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.lower("text").contains("spark window"))
+        .orderBy("doc_id")
+        .limit(5)
+        .select("doc_id", F.col("text").alias("suggestion"))
+    )
+
+
+@_q(
+    "i5_field_pivot",
+    """
+    WITH fields AS (
+        SELECT doc_id,
+               regexp_extract(lower(text), '^(\\S+ \\S+ \\S+)', 1) AS h1,
+               regexp_replace(lower(text), '^(\\S+ \\S+ \\S+)\\s*', '') AS other
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, 'h1' AS field, unnest(string_split_regex(h1, '\\s+')) AS word
+        FROM fields
+        UNION ALL
+        SELECT doc_id, 'other', unnest(string_split_regex(other, '\\s+'))
+        FROM fields
+    )
+    SELECT word, doc_id,
+           CAST(SUM(CASE WHEN field = 'h1' THEN 1 ELSE 0 END) AS BIGINT) AS tf_h1,
+           CAST(SUM(CASE WHEN field = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS tf_other,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM toks WHERE word <> ''
+    GROUP BY word, doc_id
+    HAVING count(*) >= 3
+    """,
+)
+def i5_field_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 multi-field posting build (title-as-h1 convention,
+    Indexer.java:156): per-(word, doc) per-field tf via groupBy+pivot.
+    Fields synthesized from documents: h1 = first 3 words, other = rest."""
+    from navi_spark.operators.indexer import build_postings
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract(F.lower("text"), r"^(\S+ \S+ \S+)", 1).alias("h1"),
+        F.regexp_replace(F.lower("text"), r"^(\S+ \S+ \S+)\s*", "").alias("other"),
+    )
+    p = build_postings(d, "doc_id", {"h1": "h1", "other": "other"}, stem=False)
+    return p.filter(F.col("tf") >= 3)
+
+
+@_q("c12_robots_filter", None)
+def c12_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10-C12: robots parse + longest-match filter over a synthesized
+    frontier (UDF matcher → rows-only; semantics unit-tested in pytest)."""
+    from navi_spark.operators.robots import filter_allowed, parsed_rules_table
+    from navi_spark.sources.datagen import generate_robots
+
+    d = load(spark, sf_dir, "documents")
+    cand = d.select(
+        F.concat(F.lit("https://host"), (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".test/p/"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("host"), (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".test")).alias("host"),
+    )
+    rules = parsed_rules_table(generate_robots(spark, 20))
+    return filter_allowed(cand, rules).filter(F.col("robots_allowed")).select(
+        "url", "host"
+    )
