@@ -58,8 +58,14 @@ def build_session(cpus: int) -> SparkSession:
         # coalescing would shrink the mid-stages to ~6 partitions (sized for
         # 64MB), starving >8-core runs and corrupting the scaling comparison
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # shuffle spill to tmpfs: the sandbox's overlay disk has multi-second
+        # writeback stalls that add ±60s noise to otherwise-4s runs
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "24g")
+        # 12g + ParallelGC measured fastest for this shuffle-heavy profile
+        # (48g G1 paid large-heap GC overhead: 6.6s vs 3.8s at local[32])
+        .config("spark.driver.memory", "12g")
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
@@ -114,7 +120,20 @@ def frontier_throughput(
     sel = pre.withColumn("_r2", F.row_number().over(w2)).filter(
         F.col("_r2") <= cap
     )
-    scheduled = sel.orderBy("rank", "url").limit(100_000).count()
+    # global budget: for large k a plain orderBy().limit(k) makes the driver
+    # single-threadedly merge 64 × k rows (a flat ~20s that kills scaling).
+    # Scalable form: persist survivors once, find a rank threshold near the
+    # k-th value, TakeOrdered only the ~k-row head.
+    k = 100_000
+    sel = sel.persist()
+    r_total = sel.count()
+    if k < r_total:
+        t_rank = sel.stat.approxQuantile("rank", [min(1.0, 1.5 * k / r_total)], 0.01)[0]
+        head = sel.filter(F.col("rank") <= t_rank)
+    else:
+        head = sel
+    scheduled = head.orderBy("rank", "url").limit(k).count()
+    sel.unpersist()
     wall = time.monotonic() - t0
     seen.unpersist()
     return {
