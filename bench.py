@@ -49,6 +49,13 @@ HEADLINE_QUERIES = (
 
 
 def build_session(cpus: int) -> SparkSession:
+    # Executor-fleet runs pin the JVM's own thread pools (GC/JIT/netty) to
+    # the granted cores — the cpuset analog of a real cluster manager. A
+    # co-resident JVM that sizes pools for all 32 host CPUs oversubscribes
+    # 4× and slows the whole fleet ~18× (measured).
+    java_opts = "-XX:+UseParallelGC"
+    if os.environ.get("NAVI_PIN_CORES"):
+        java_opts += f" -XX:ActiveProcessorCount={cpus}"
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("navi-bench")
@@ -65,7 +72,7 @@ def build_session(cpus: int) -> SparkSession:
         # 12g + ParallelGC measured fastest for this shuffle-heavy profile
         # (48g G1 paid large-heap GC overhead: 6.6s vs 3.8s at local[32])
         .config("spark.driver.memory", "12g")
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
