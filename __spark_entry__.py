@@ -8,24 +8,57 @@ with a DuckDB oracle twin unless inherently non-SQL).
 
 from __future__ import annotations
 
+import functools
 import os
+import shutil
 import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 from navi_spark import queries as _q  # noqa: E402
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship navi_spark to the python workers (spark-submit --py-files
+    equivalent): the driver process may not export this repo on PYTHONPATH,
+    and the Arrow UDFs deserialize by module reference on the workers."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    zip_base = os.path.join(tempfile.gettempdir(), "navi_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(
+            zip_base, "zip", root_dir=_REPO, base_dir="navi_spark"
+        )
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    @functools.wraps(fn)
+    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    return inner
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_workers_can_import(spark)
     return _q.crawl_wave_schedule(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _q.queries()
+    return {name: _wrap(fn) for name, fn in _q.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
