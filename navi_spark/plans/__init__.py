@@ -26,8 +26,18 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"\bExchange\b", explain_str(df, "simple")))
 
 
-def has_wholestage_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in explain_str(df, "simple")
+def executed_plan_str(df: DataFrame) -> str:
+    """Final physical plan AFTER execution — needed under AQE, whose
+    pre-execution plan string hides the chosen operators. Must run THIS
+    df's own QueryExecution (count() would plan a separate query)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def has_wholestage_codegen(df: DataFrame, execute: bool = False) -> bool:
+    plan = executed_plan_str(df) if execute else explain_str(df, "simple")
+    # executed plans mark codegen stages as "*(n) Operator"
+    return "WholeStageCodegen" in plan or re.search(r"\*\(\d+\) ", plan) is not None
 
 
 def assert_no_cartesian(df: DataFrame) -> None:

@@ -23,7 +23,7 @@ def test_tpch_q1_pushdown_and_pruning(spark, sf_dir):
     cols = scan_columns(df)
     # column pruning: the scan must NOT read all 11 lineitem columns
     assert cols and all(len(c) <= 7 for c in cols), cols
-    assert has_wholestage_codegen(df)
+    assert has_wholestage_codegen(df, execute=True)  # AQE hides it pre-run
     assert_no_cartesian(df)
 
 
@@ -64,9 +64,12 @@ def test_broadcast_join_for_small_rules(spark):
         [("h.test", "User-agent: *\nDisallow: /x\n", 0.0)],
         "host string, robots_txt string, crawl_delay_s double",
     )
+    # hosts must VARY or Catalyst constant-folds the equi-join into a
+    # filter + BroadcastNestedLoopJoin (a degenerate-test artifact)
+    host = F.concat(F.lit("h"), (F.col("id") % 3).cast("string"), F.lit(".test"))
     cand = spark.range(1000).select(
-        F.concat(F.lit("https://h.test/p/"), F.col("id")).alias("url"),
-        F.lit("h.test").alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("id")).alias("url"),
+        host.alias("host"),
     )
     out = filter_allowed(cand, parsed_rules_table(robots))
     assert "BroadcastHashJoin" in explain_str(out, "simple")
