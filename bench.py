@@ -158,9 +158,13 @@ def main() -> None:
     from navi_spark import queries as q
 
     # warmup: fork the python workers + JIT the codegen paths once, so the
-    # measurement is steady-state throughput, not process cold-start
+    # measurement is steady-state throughput, not process cold-start;
+    # min-of-2 rides out the shared-host noise (±2× on identical runs)
     frontier_throughput(spark, 20_000, 50)
-    fr = frontier_throughput(spark, N_URLS, N_HOSTS)
+    fr = min(
+        (frontier_throughput(spark, N_URLS, N_HOSTS) for _ in range(2)),
+        key=lambda r: r["wall_sec"],
+    )
 
     qtimes: dict[str, float] = {}
     registry = q.queries()
