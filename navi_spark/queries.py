@@ -1177,3 +1177,90 @@ def c12_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_allowed(cand, rules).filter(F.col("robots_allowed")).select(
         "url", "host"
     )
+
+
+# ---------------------------------------------------------------------------
+# third batch: sessionization, multi-table join, IVF ANN
+# ---------------------------------------------------------------------------
+
+@_q(
+    "ev_sessionize",
+    """
+    WITH d AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM d GROUP BY user_id
+    """,
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap session counting via a lag window —
+    the streaming-adjacent stateful op expressed as a batch window."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "_ts_s", F.col("ts").cast("timestamp").cast("long")  # NTZ → ts → s
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("_ts_s") - F.lag(F.col("_ts_s")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        e.withColumn("_ns", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("_ns").cast("long").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+@_q(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 20
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational coverage: 3-table join + agg + top-k (broadcastable dims
+    → Catalyst picks broadcast joins; TakeOrderedAndProject for the k)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(20)
+    )
+
+
+@_q("sim_ivf_topk", None)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: seeded k-means coarse quantizer, probe the
+    nearest n_probe cells, exact-score only those rows (rows-only check;
+    recall verified in pytest)."""
+    from navi_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(e, q, dim=len(q), k=10, n_cells=16, n_probe=4).select(
+        "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    )
