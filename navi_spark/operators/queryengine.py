@@ -109,7 +109,9 @@ def snippet(
             best_start, best_hits = start, hits
     seg = content[best_start : best_start + window]
     for t in sorted(set(toks), key=len, reverse=True):
+        # prefix match (\w* suffix): query tokens arrive Porter-stemmed
+        # ("river"), the page text carries surface forms ("rivers")
         seg = re.sub(
-            rf"\b({re.escape(t)})\b", r"<b>\1</b>", seg, flags=re.IGNORECASE
+            rf"\b({re.escape(t)}\w*)", r"<b>\1</b>", seg, flags=re.IGNORECASE
         )
     return seg

@@ -1,0 +1,100 @@
+"""End-to-end search over an indexed corpus — the reference's query
+lifecycle (SURVEY.md §3.3) as one composition:
+
+    parse (Q1/Q2) → dispatch:
+        bare terms   → BM25F (R3) over postings
+        single phrase→ phrase scoring (R9-R11) over page text
+        boolean      → left-to-right set algebra (R12)
+    → hybrid 0.7·relevance + 0.3·PageRank (R7/R8)
+    → top-k + ordered multi-get (R14) → snippets (Q3)
+
+The reference's only "golden queries" are the commented suite at
+queryengine/QueryEngine.java:360-375 (quoted phrase, bare terms, `X OR Y`,
+`X AND Y NOT Z`) — the test suite runs exactly those shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from navi_spark.operators import ranker
+from navi_spark.operators.queryengine import parse_query, snippet
+
+
+@dataclass
+class SearchResult:
+    doc_id: str
+    score: float
+    snippet: str
+
+
+def search(
+    query: str,
+    pages: DataFrame,          # (url, rank, <field columns>)
+    postings: DataFrame,       # flat posting table from indexer
+    lengths: DataFrame,        # per-doc field lengths
+    field_cols: dict[str, str],
+    n_docs: int,
+    k: int = 10,
+    stopwords: frozenset[str] = frozenset(),
+    snippet_field: str | None = None,
+) -> list[SearchResult]:
+    parsed = parse_query(query, stopwords=set(stopwords))
+    if parsed.kind == "invalid":
+        return []
+    fields = list(field_cols.keys())
+
+    if parsed.kind == "terms":
+        relevance = ranker.bm25f(
+            postings, lengths, parsed.terms, n_docs, fields=fields
+        )
+    elif parsed.kind == "phrase":
+        rx = ranker.phrase_regex(parsed.phrases[0])
+        relevance = ranker.phrase_scores(pages, rx, field_cols).withColumnRenamed(
+            "phrase_score", "relevance"
+        )
+    else:  # boolean
+        universe = pages.select(F.col("url").alias("doc_id"))
+        scored: list[DataFrame] = []
+        for i, phrase in enumerate(parsed.phrases):
+            rx = ranker.phrase_regex(phrase)
+            s = ranker.phrase_scores(pages, rx, field_cols).withColumnRenamed(
+                "phrase_score", "score"
+            )
+            # leading NOT-semantics: reference treats `NOT x` via set minus
+            # during combine; unary not handled by boolean_combine
+            scored.append(s)
+        relevance = ranker.boolean_combine(
+            universe, scored, parsed.operators
+        ).withColumnRenamed("score", "relevance")
+
+    ranked = ranker.hybrid_rank(relevance, pages, limit=k)
+    top = ranked.collect()
+    if not top:
+        return []
+    # ordered multi-get (R14): fetch page text for the k ids, keep rank order
+    id_order = {r["doc_id"]: i for i, r in enumerate(top)}
+    text_col = snippet_field or next(iter(field_cols.values()))
+    rows = (
+        pages.filter(F.col("url").isin(*list(id_order)))
+        .select(F.col("url").alias("doc_id"), F.col(text_col).alias("_text"))
+        .collect()
+    )
+    texts = {r["doc_id"]: r["_text"] for r in rows}
+    toks = (
+        parsed.terms
+        if parsed.kind == "terms"
+        else [w for p in parsed.phrases for w in p]
+    )
+    return [
+        SearchResult(
+            doc_id=r["doc_id"],
+            score=r["score"],
+            snippet=snippet(texts.get(r["doc_id"], "") or "", toks),
+        )
+        for r in top
+    ]
