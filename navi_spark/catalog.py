@@ -142,5 +142,18 @@ class SnapshotTable:
             f.write(str(snapshot_id))
         os.replace(tmp, self._head_path)
 
+    def rollback_to_empty(self) -> None:
+        """Roll back to the pre-first-commit state (no snapshot at all).
+
+        Needed by crash recovery when a table's FIRST-ever commit was torn:
+        there is no earlier snapshot id to point HEAD at, so HEAD is removed
+        and the table reads as empty again. Orphan data dirs/manifests are
+        harmless (same as any aborted commit) and get overwritten by id reuse.
+        """
+        try:
+            os.remove(self._head_path)
+        except FileNotFoundError:
+            pass
+
     def drop(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

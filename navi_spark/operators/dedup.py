@@ -151,21 +151,65 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    sh: DataFrame, threshold: float = 0.5, candidates: DataFrame | None = None
+    sh: DataFrame, threshold: float = 0.5, candidates: DataFrame | None = None,
+    max_shingle_df: int = 10_000,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets, optionally restricted to LSH
-    candidates (the verify stage of minhash→verify)."""
-    x = sh.alias("x")
-    y = sh.alias("y")
-    joined = x.join(
-        y,
-        (F.col("x.shingle_hash") == F.col("y.shingle_hash"))
-        & (F.col("x.id") < F.col("y.id")),
-    ).select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-    if candidates is not None:
-        joined = joined.join(candidates, ["id_a", "id_b"], "left_semi")
-    inter = joined.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    candidates (the verify stage of minhash→verify).
+
+    Scale shape — two distinct plans:
+
+    * WITH candidates (the 100 TB verify path): the pair list drives the
+      join — shingles attach per candidate pair (join on id_a, then on
+      (id_b, shingle_hash)), so the work is Σ per-pair shingle overlap and
+      a hot boilerplate shingle can never go quadratic in its document
+      frequency. No shingle self-join exists in this plan.
+    * WITHOUT candidates (exploratory all-pairs): inverted-index self-join
+      with a shingle document-frequency cap — shingles with df >
+      `max_shingle_df` are dropped from the index (their pairs are
+      boilerplate noise and would cost df² rows); the drop count is logged
+      eagerly so truncation is never silent.
+    """
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b").distinct()
+        inter = (
+            cand.join(
+                sh.select(F.col("id").alias("id_a"), "shingle_hash"), "id_a"
+            )
+            .join(
+                sh.select(F.col("id").alias("id_b"), "shingle_hash"),
+                ["id_b", "shingle_hash"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        dfreq = sh.groupBy("shingle_hash").agg(F.count("*").alias("_df"))
+        hot = dfreq.filter(F.col("_df") > max_shingle_df)
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropping %d shingles with df > %d "
+                "from the inverted index (boilerplate cap)", n_hot,
+                max_shingle_df,
+            )
+        idx = sh.join(F.broadcast(hot.select("shingle_hash")),
+                      "shingle_hash", "left_anti")
+        x = idx.alias("x")
+        y = idx.alias("y")
+        inter = (
+            x.join(
+                y,
+                (F.col("x.shingle_hash") == F.col("y.shingle_hash"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a")
                    .withColumnRenamed("n", "na"), "id_a")
@@ -219,22 +263,32 @@ def hamming64(a, b):
 
 
 def simhash_neardup_pairs(sims: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance ≤ k.
-
-    Scale path: block on the 4 16-bit quarters (a pair within distance ≤ 8
-    over 64 bits shares at least one exact quarter when distance < 4·1... —
-    standard pigeonhole blocking with 4 blocks guarantees recall for
-    distance ≤ 3; for larger k increase blocks). Join is block-local."""
+    """Near-dup pairs by simhash Hamming distance ≤ `max_hamming`, with
+    GUARANTEED recall: the 64 bits split into `max_hamming + 1` blocks, so
+    by pigeonhole any pair within distance ≤ max_hamming agrees exactly on
+    at least one whole block and meets in that block's bucket. The number
+    of blocks is DERIVED from max_hamming (never fewer — a fixed 4-block
+    split only guarantees distance ≤ 3 and silently loses recall beyond).
+    Join is block-local; wider max_hamming ⇒ narrower blocks ⇒ bigger
+    buckets — the standard recall/cost trade, paid explicitly."""
+    n_blocks = min(max_hamming + 1, 64)
+    base, extra = divmod(64, n_blocks)
+    bounds = []
+    start = 0
+    for q in range(n_blocks):
+        width = base + (1 if q < extra else 0)
+        bounds.append((q, start, width))
+        start += width
     blocks = sims.select(
         "id", "simhash",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(q).alias("q"),
-                    F.shiftrightunsigned(F.col("simhash"), q * 16)
-                    .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    F.shiftrightunsigned(F.col("simhash"), s)
+                    .bitwiseAND(F.lit((1 << w) - 1)).alias("key"),
                 )
-                for q in range(4)
+                for q, s, w in bounds
             ])
         ).alias("bb"),
     ).select("id", "simhash", "bb.q", "bb.key")

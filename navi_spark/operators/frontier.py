@@ -7,23 +7,41 @@ structures (SURVEY.md §7) are:
 
   * frontier is a min-heap on `rank` ASCENDING (WebCrawler.java:63) — ties
     broken here by `url` ascending for a stable total order;
-  * a pop consumes global budget only when the page is actually stored, or
-    when the depth limit trips (the one skip path that never refunds,
-    WebCrawler.java:364-367 — reproduced);
-  * per-domain cap: an over-cap URL is popped and DISCARDED, not re-queued
-    (WebCrawler.java:438-444); failures (robots/fetch/dup-content) never
-    consume domain or global budget and un-claim the URL
-    (WebCrawler.java:446-481);
+  * the depth check runs in crawl() BEFORE processUrl (WebCrawler.java:364)
+    — a too-deep pop consumes global budget, yields nothing, and never
+    touches the domain quota (the one skip path that never refunds);
+  * per-domain cap is checked AT POP TIME (WebCrawler.java:440-444): a URL
+    whose domain is already AT cap is popped and DISCARDED with a budget
+    refund; a URL whose domain is still open is attempted, and failures
+    (robots/fetch/dup-content, WebCrawler.java:451-478) refund global
+    budget, never consume domain quota (the count increments only on store,
+    :523), and un-claim the URL — so a same-host URL queued behind a
+    failing one still gets its attempt later;
   * children are normalized at extraction, enqueued when not yet visited,
     duplicates in the frontier allowed (WebCrawler.java:496-518).
 
-This engine linearizes those semantics into WAVES: each wave claims the
-lowest-(rank, url) frontier entries subject to per-host and global budgets,
-runs robots → fetch/validate → content-dedup, commits one snapshot per
-table, and expands children for the next wave. `wave_budget=1` degenerates
-to the exact sequential heap order; the pure-Python oracle in
-`navi_spark.oracle` implements the identical algorithm and the tests assert
-bit-equal visit order + seen set (north rule).
+This engine linearizes those semantics into WAVES. Each wave pops the
+lowest-(rank, url) entries subject to pop-time rules:
+
+  * already-seen rows and rows of AT-CAP hosts leave the frontier with no
+    budget consumed (pop-time discard — sound to do eagerly because a host
+    at cap stays at cap forever);
+  * too-deep rows bypass the domain quota entirely and compete for the wave
+    budget by (rank, url) — attempted = budget consumed, nothing stored;
+  * of an OPEN host's rows, the first `cap - successes` by (rank, url) are
+    claimable this wave; the rest are RE-QUEUED for the next wave (never
+    dropped — if a claimed attempt fails, the queued row is attempted in a
+    later wave exactly as the reference would attempt it at its pop);
+  * claimable ∪ deep rows are attempted in global (rank, url) order up to
+    `wave_budget`; unattempted rows re-queue.
+
+Every attempt gets an outcome label (depth_skip / blocked_robots /
+fetch_failed / dup_content / fetched) in ONE labeled DataFrame pass —
+lineage, metrics, and all wave stats derive from one aggregation of it
+instead of per-stage count() jobs. `wave_budget=1` degenerates to the exact
+sequential pop order: `navi_spark.oracle.sequential_crawl_oracle` replays
+the reference heap loop verbatim and the tests assert bit-equal visit
+order + seen set against it (north rule).
 
 Scale design (the part the reference cannot do):
   * seen-check = partitioned bloom pre-filter (definitely-new rows skip the
@@ -64,8 +82,8 @@ HOST_COUNTS_SCHEMA = "host string, successes long"
 PHASH_SEEN_SCHEMA = "phash long"
 LINEAGE_SCHEMA = (
     "wave_id int, host_partition int, scheduled long, deduped long, "
-    "attempted long, blocked_budget long, blocked_robots long, "
-    "fetch_failed long, dup_content long, fetched long"
+    "attempted long, blocked_budget long, depth_skipped long, "
+    "blocked_robots long, fetch_failed long, dup_content long, fetched long"
 )
 METRICS_SCHEMA = (
     "wave_id int, scheduled long, deduped long, attempted long, fetched long, "
@@ -169,25 +187,41 @@ class CrawlEngine:
         )
         self.t["state"].overwrite(
             self.spark.createDataFrame(
-                [(0, 0, False, {})], STATE_SCHEMA
+                [(0, 0, False, self._snapshot_map())], STATE_SCHEMA
             ),
             {"op": "bootstrap"},
         )
         self.wave_id = 0
         self.budget_consumed = 0
 
+    def _snapshot_map(self) -> dict[str, int]:
+        """Snapshot id of EVERY non-state table; sentinel 0 = no commit yet
+        (real ids start at 1). Recording every table — not just committed
+        ones — lets resume() detect a torn FIRST commit of a table."""
+        return {n: (self.t[n].snapshot_id() or 0)
+                for n in self.TABLES if n != "state"}
+
     def resume(self) -> None:
         """Restore the engine to the last CONSISTENT cut: the `state` table
-        commits last each wave and records every table's snapshot id, so any
-        table that committed a later (torn) snapshot is rolled back."""
+        commits last each wave and records every table's snapshot id (0 =
+        not yet committed), so any table with a later (torn) snapshot is
+        rolled back — including a torn first-ever commit, which rolls back
+        to the empty table."""
         row = self.t["state"].read().collect()[0]
         self.wave_id = row["wave_id"]
         self.budget_consumed = row["budget_consumed"]
         snaps = row["snapshots"] or {}
-        for name, sid in snaps.items():
+        for name in self.TABLES:
+            if name == "state":
+                continue
             cur = self.t[name].snapshot_id()
-            if cur is not None and sid is not None and cur > sid:
-                self.t[name].rollback(sid)
+            if cur is None:
+                continue
+            rec = snaps.get(name, 0) or 0
+            if rec == 0:
+                self.t[name].rollback_to_empty()
+            elif cur > rec:
+                self.t[name].rollback(rec)
 
     # -- the wave ------------------------------------------------------------
     def wave(self) -> WaveStats:
@@ -204,6 +238,9 @@ class CrawlEngine:
         # per-group sort machinery (~80µs/group — measured 41s on a 500k-url
         # frontier); min(struct) is a partial-aggregating hash agg (host and
         # url_hash are functions of url, so any value is the right one).
+        # Duplicate heap entries are outcome-equivalent in the reference:
+        # the first pop decides, later pops of the same url hit the visited
+        # check or fail identically (deterministic robots/fetch/dup).
         cand = (
             frontier.groupBy("url")
             .agg(
@@ -217,13 +254,15 @@ class CrawlEngine:
             )
         )
         cand = cand.withColumn("host_partition", self._hp()).cache()
-        stats.scheduled = cand.count()
-        if stats.scheduled == 0 or remaining_global <= 0:
+        if remaining_global <= 0 or cand.isEmpty():
             cand.unpersist()
             self._commit_done()
             return stats
 
-        # ---- 2. URL-seen check (C9): bloom pre-filter + exact anti-join
+        # ---- 2. URL-seen check (C9): bloom pre-filter + exact anti-join.
+        # Pop-time visited refund (WebCrawler.java:446) done eagerly: a seen
+        # row can never produce a page, so removing it before the pop is
+        # outcome-equivalent and costs no budget either way.
         seen = self.t["seen"].read_or_empty(SEEN_SCHEMA)
         if cfg.use_bloom and self.t["filters"].exists():
             flt = self.t["filters"].read()
@@ -236,86 +275,131 @@ class CrawlEngine:
         else:
             new = cand.join(seen.select("url"), on="url", how="left_anti")
         new = new.cache()
-        stats.deduped = new.count()
 
-        # ---- 3. politeness (C8): two-level top-k, pop-time-drop semantics
+        # ---- 3. pop-time split (C6/C8). Deep rows bypass the domain quota
+        # (crawl() checks depth BEFORE processUrl's domain check,
+        # WebCrawler.java:364 vs :440) and compete for the wave budget.
+        # Shallow rows of an AT-CAP host are discarded (pop-time discard —
+        # eager is sound, at-cap is permanent). An OPEN host's first
+        # `cap - successes` rows by (rank, url) are claimable this wave; the
+        # REST RE-QUEUE (never dropped: if a claimed attempt fails, the
+        # queued row gets its attempt in a later wave, exactly as the
+        # reference attempts it at its pop after the failure's refund).
         counts = self.t["host_counts"].read_or_empty(HOST_COUNTS_SCHEMA)
         cap = cfg.max_pages_per_domain
-        salted = new.withColumn(
+        deep = new.filter(F.col("depth") > cfg.max_depth)
+        open_rows = (
+            new.filter(F.col("depth") <= cfg.max_depth)
+            .join(F.broadcast(counts), on="host", how="left")
+            .fillna({"successes": 0})
+            .filter(F.col("successes") < cap)
+            .withColumn("_remaining", F.lit(cap) - F.col("successes"))
+            .drop("successes")
+        )
+        # two-level politeness window: a salted (host, salt) top-cap prunes
+        # each host to ≤ S·cap rows BEFORE the per-host window, so a hot
+        # host never lands in one straggler task
+        salted = open_rows.withColumn(
             "_salt", F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets))
         )
         w1 = Window.partitionBy("host", "_salt").orderBy("rank", "url")
         pre = (
             salted.withColumn("_rn1", F.row_number().over(w1))
-            .filter(F.col("_rn1") <= cap)        # ≤ S·cap rows per host survive
+            .filter(F.col("_rn1") <= F.col("_remaining"))
             .drop("_rn1", "_salt")
         )
         w2 = Window.partitionBy("host").orderBy("rank", "url")
         sel = (
-            pre.join(F.broadcast(counts), on="host", how="left")
-            .fillna({"successes": 0})
-            .withColumn("_remaining", F.lit(cap) - F.col("successes"))
-            .withColumn("_rn2", F.row_number().over(w2))
+            pre.withColumn("_rn2", F.row_number().over(w2))
             .filter(F.col("_rn2") <= F.col("_remaining"))
-            .drop("successes", "_remaining", "_rn2")
+            .drop("_remaining", "_rn2")
         )
-        # over-cap rows are DROPPED (reference pops & discards, :438-444)
 
-        # ---- 4. global budget (C7): distributed TakeOrdered, never a
-        #          single-partition window
+        # ---- 4. global budget (C7): claimable ∪ deep attempted in global
+        # (rank, url) order — distributed TakeOrdered, never a
+        # single-partition window
         k = min(remaining_global, cfg.wave_budget)
-        attempts = sel.orderBy("rank", "url").limit(k).cache()
-        stats.attempted = attempts.count()
-        leftover = sel.join(
-            attempts.select("url"), on="url", how="left_anti"
-        )  # under global cap only — stays queued for later waves
+        pool = sel.unionByName(deep)
+        attempts = pool.orderBy("rank", "url").limit(k)
 
-        # ---- 5. depth quirk (C6): depth>max consumes budget, yields nothing
-        depth_ok = attempts.filter(F.col("depth") <= cfg.max_depth)
-        stats.depth_skips = stats.attempted - depth_ok.count()
-
-        # ---- 6. robots (C10-C12)
-        allowed = filter_allowed(depth_ok, self.rules)
-        passed_robots = allowed.filter(F.col("robots_allowed")).drop(
-            "robots_allowed", "crawl_delay_s"
+        # ---- 5-8. ONE labeled attempt pass: depth quirk (C6) → robots
+        # (C10-C12) → fetch+validate (C13) → language (C14) → in-wave phash
+        # dedup (C15). Every attempt gets an outcome label; lineage, metrics
+        # and wave stats all derive from this single DataFrame, so no
+        # per-stage count() jobs remain on the hot pipeline.
+        att = filter_allowed(attempts, self.rules).drop("crawl_delay_s")
+        att = att.join(self.web, on="url", how="left")
+        att = att.join(self.images, on="image_id", how="left")
+        ok_fetch = (
+            F.col("robots_allowed")
+            & (F.col("depth") <= cfg.max_depth)
+            & F.col("phash").isNotNull()
         )
-
-        # ---- 7. fetch + validate (C13-C14)
-        fetched = passed_robots.join(self.web, on="url", how="inner")
-        fetched = fetched.join(self.images, on="image_id", how="inner")
         if cfg.validate_payloads:
-            fetched = fetched.withColumn(
+            # gate bytes to NULL for rows already failed — the Arrow batch
+            # then skips the decode work for them
+            att = att.withColumn(
                 "_fail",
-                validate_payload_udf("image_id", "bytes", "fmt", "w", "h", "caption"),
-            ).filter(F.col("_fail").isNull()).drop("_fail")
-        fetched = language_gate(fetched).filter(F.col("lang_ok")).drop("lang_ok")
-
-        # ---- 8. content dedup (C15): first-(rank,url)-wins within the wave,
-        #          anti-join against all previously stored phashes
+                validate_payload_udf(
+                    "image_id", F.when(ok_fetch, F.col("bytes")),
+                    "fmt", "w", "h", "caption",
+                ),
+            )
+        else:
+            att = att.withColumn("_fail", F.lit(None).cast("string"))
+        att = language_gate(att)
+        pre_ok = (
+            ok_fetch & F.col("_fail").isNull()
+            & F.coalesce(F.col("lang_ok"), F.lit(False))
+        )
+        # in-wave first-(rank,url)-wins per phash among rows that passed
+        # everything else; failed rows sort after so they never claim a slot
+        rn_ph = F.row_number().over(
+            Window.partitionBy("phash").orderBy(
+                F.when(pre_ok, 0).otherwise(1), "rank", "url"
+            )
+        )
         phash_seen = self.t["phash_seen"].read_or_empty(PHASH_SEEN_SCHEMA)
-        rn_ph = F.row_number().over(Window.partitionBy("phash").orderBy("rank", "url"))
-        successes = (
-            fetched.withColumn("_rnp", rn_ph).filter(F.col("_rnp") == 1).drop("_rnp")
-            .join(phash_seen, on="phash", how="left_anti")
+        att = (
+            att.withColumn("_pre_ok", pre_ok)
+            .withColumn("_rnp", rn_ph)
+            .join(phash_seen.withColumn("_ph_seen", F.lit(True)),
+                  on="phash", how="left")
+        )
+        outcome = (
+            F.when(F.col("depth") > cfg.max_depth, "depth_skip")
+            .when(~F.col("robots_allowed"), "blocked_robots")
+            .when(F.col("phash").isNull(), "fetch_failed")      # web/image miss
+            .when(F.col("_fail").isNotNull(), "fetch_failed")   # payload invalid
+            .when(~F.col("lang_ok"), "fetch_failed")            # C14 gate
+            .when(F.coalesce(F.col("_ph_seen"), F.lit(False))
+                  | (F.col("_rnp") > 1), "dup_content")
+            .otherwise(F.lit("fetched"))
+        )
+        labeled = (
+            att.withColumn("outcome", outcome)
             .withColumn(
                 "children",
                 F.when(
-                    F.col("depth") < cfg.max_depth,
+                    (F.col("outcome") == "fetched")
+                    & (F.col("depth") < cfg.max_depth),
                     normalize_children(F.col("children")),
                 ).otherwise(F.array().cast("array<string>")),
             )
             .select(
-                "url", "image_id", "phash", "caption", "depth", "rank", "host",
-                F.lit(w).alias("wave_id"), "children", "url_hash",
-                "host_partition",
+                "url", "image_id", "phash", "caption", "depth", "rank",
+                "host", "children", "url_hash", "host_partition", "outcome",
             )
-            .localCheckpoint(eager=True)  # cut lineage; wave outputs reused 4×
+            .localCheckpoint(eager=True)  # cut lineage; reused ~6×, no bytes
         )
-        stats.fetched = successes.count()
+        successes = labeled.filter(F.col("outcome") == "fetched")
 
         # ---- 9. commit wave outputs (C18/C19): one snapshot per table;
         #          `state` last records the consistent cut
-        pages_out = successes.drop("url_hash", "host_partition")
+        pages_out = successes.select(
+            "url", "image_id", "phash", "caption", "depth", "rank", "host",
+            F.lit(w).alias("wave_id"), "children",
+        )
         self.t["pages"].append(pages_out, {"wave": w})
         self.t["seen"].append(
             successes.select("url", "url_hash", "host_partition"), {"wave": w}
@@ -339,7 +423,14 @@ class CrawlEngine:
         )
         self.t["host_counts"].overwrite(new_counts, {"wave": w})
 
-        # ---- 10. expansion (C16): normalized children, not-seen, host-open
+        # ---- 10. re-queue + expansion (C16). Everything poppable that was
+        # not attempted re-queues: per-host over-quota rows, salt-pruned
+        # rows, global-budget leftover, unattempted deep rows. Only seen
+        # rows and at-cap-host rows left the frontier for good.
+        leftover = (
+            open_rows.drop("_remaining").unionByName(deep)
+            .join(labeled.select("url"), on="url", how="left_anti")
+        )
         seen_now = self.t["seen"].read()
         counts_now = self.t["host_counts"].read()
         expansions = (
@@ -364,8 +455,18 @@ class CrawlEngine:
         stats.expanded = new_frontier.count()
         self.t["frontier"].overwrite(new_frontier, {"wave": w})
 
-        # ---- 11. lineage + metrics (north rule)
-        self._commit_lineage(w, cand, new, attempts, successes)
+        # ---- 11. lineage + metrics (north rule): one aggregation over the
+        # labeled table + per-partition scheduled/deduped; collected once
+        # (≤ n_host_partitions·salt_buckets rows) and reused for wave stats
+        lin_rows = self._lineage_rows(w, cand, new, labeled)
+        stats.scheduled = sum(r["scheduled"] for r in lin_rows)
+        stats.deduped = sum(r["deduped"] for r in lin_rows)
+        stats.attempted = sum(r["attempted"] for r in lin_rows)
+        stats.fetched = sum(r["fetched"] for r in lin_rows)
+        stats.depth_skips = sum(r["depth_skipped"] for r in lin_rows)
+        self.t["lineage"].append(
+            self.spark.createDataFrame(lin_rows, LINEAGE_SCHEMA), {"wave": w}
+        )
         stats.wall_ms = int((time.monotonic() - t0) * 1000)
         par = self.spark.sparkContext.defaultParallelism
         self.t["metrics"].append(
@@ -381,47 +482,55 @@ class CrawlEngine:
         # ---- 12. state commit = the checkpoint barrier
         self.budget_consumed += stats.fetched + stats.depth_skips
         self.wave_id = w
-        snaps = {n: self.t[n].snapshot_id() for n in self.TABLES
-                 if n != "state" and self.t[n].snapshot_id() is not None}
         self.t["state"].overwrite(
             self.spark.createDataFrame(
-                [(w, self.budget_consumed, False, snaps)], STATE_SCHEMA
+                [(w, self.budget_consumed, False, self._snapshot_map())],
+                STATE_SCHEMA,
             ),
             {"wave": w},
         )
         cand.unpersist()
         new.unpersist()
-        attempts.unpersist()
         return stats
 
-    def _commit_lineage(self, w, cand, new, attempts, successes) -> None:
+    def _lineage_rows(self, w, cand, new, labeled) -> list:
+        """Per-host_partition lineage with REAL per-cause counts, all from
+        one aggregation of the labeled attempts table. `blocked_budget` =
+        deduped rows not popped for an attempt this wave (re-queued or
+        at-cap-discarded)."""
         def per_hp(df, name):
             return df.groupBy("host_partition").agg(F.count("*").alias(name))
 
+        cause = [("depth_skip", "depth_skipped"),
+                 ("blocked_robots", "blocked_robots"),
+                 ("fetch_failed", "fetch_failed"),
+                 ("dup_content", "dup_content"),
+                 ("fetched", "fetched")]
+        att_agg = labeled.groupBy("host_partition").agg(
+            F.count("*").alias("attempted"),
+            *[F.sum(F.when(F.col("outcome") == o, 1).otherwise(0))
+              .cast("long").alias(c) for o, c in cause],
+        )
         lin = (
             per_hp(cand, "scheduled")
             .join(per_hp(new, "deduped"), "host_partition", "full")
-            .join(per_hp(attempts, "attempted"), "host_partition", "full")
-            .join(per_hp(successes, "fetched"), "host_partition", "full")
+            .join(att_agg, "host_partition", "full")
             .fillna(0)
             .select(
                 F.lit(w).alias("wave_id"), "host_partition",
                 "scheduled", "deduped", "attempted",
                 (F.col("deduped") - F.col("attempted")).alias("blocked_budget"),
-                F.lit(0).cast("long").alias("blocked_robots"),
-                (F.col("attempted") - F.col("fetched")).alias("fetch_failed"),
-                F.lit(0).cast("long").alias("dup_content"),
-                "fetched",
+                "depth_skipped", "blocked_robots", "fetch_failed",
+                "dup_content", "fetched",
             )
         )
-        self.t["lineage"].append(lin, {"wave": w})
+        return lin.collect()
 
     def _commit_done(self) -> None:
-        snaps = {n: self.t[n].snapshot_id() for n in self.TABLES
-                 if n != "state" and self.t[n].snapshot_id() is not None}
         self.t["state"].overwrite(
             self.spark.createDataFrame(
-                [(self.wave_id, self.budget_consumed, True, snaps)], STATE_SCHEMA
+                [(self.wave_id, self.budget_consumed, True,
+                  self._snapshot_map())], STATE_SCHEMA
             ),
             {"op": "done"},
         )

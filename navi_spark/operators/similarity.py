@@ -224,9 +224,23 @@ def ivf_topk(
 
     Scale path: materialize the assignment once, write partitioned by
     `cell` — each query then reads n_probe partitions (partition pruning);
-    here the filter plays that role in-memory."""
+    here the filter plays that role in-memory.
+
+    The quantizer trains on a HASH-ORDERED sample: TakeOrdered by
+    xxhash64(id) is a deterministic uniform draw across all partitions
+    (per-partition top-n + merge, no full sort). A plain limit() would take
+    the first partitions only — at 100 TB with sorted/partitioned layouts
+    that trains the centroids on one biased corner of the space and probe
+    recall collapses."""
     sample = np.array(
-        [list(r[vec_col]) for r in embeddings.select(vec_col).limit(sample_rows).collect()],
+        [
+            list(r[vec_col])
+            for r in embeddings.select(vec_col, F.col(id_col).alias("_sid"))
+            .orderBy(F.pmod(F.xxhash64(F.col("_sid").cast("string")),
+                            F.lit(1_000_003)), "_sid")
+            .limit(sample_rows)
+            .collect()
+        ],
         dtype=np.float64,
     )
     cents = _kmeans_centroids(sample, n_cells, seed=seed)

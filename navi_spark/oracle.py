@@ -8,7 +8,9 @@ and asserts bit-equal visit order, seen set, per-host counts and budget.
 
 With ``wave_budget=1`` this degenerates to the reference's sequential
 min-heap pop order (rank asc, url tiebreak — crawler/WebCrawler.java:63,
-Url.java:250-253), so the sequential semantics are covered by the same code.
+Url.java:250-253): :func:`sequential_crawl_oracle` below replays the
+reference heap loop verbatim (pop-time domain discard, failure refunds)
+and the tests assert the wave algorithm at ``wave_budget=1`` matches it.
 """
 
 from __future__ import annotations
@@ -70,24 +72,37 @@ def crawl_oracle(
                 best[url] = (rank, depth)
         cand = [(u, r, d) for u, (r, d) in best.items()]
 
-        # 2. seen check
+        # 2. seen check (pop-time visited refund, done eagerly)
         new = [(u, r, d) for u, r, d in cand if u not in res.seen]
 
-        # 3. politeness: per host, (rank, url) order, first `remaining` only;
-        #    the rest are dropped (pop-time discard)
+        # 3. pop-time split: deep rows bypass the domain quota (depth check
+        #    precedes the domain check in the reference); shallow rows of an
+        #    AT-CAP host are discarded; an OPEN host's first `remaining`
+        #    rows by (rank, url) are claimable, the rest RE-QUEUE
+        deep = [(u, r, d) for u, r, d in new if d > cfg.max_depth]
         by_host: dict[str, list[tuple[str, float, int]]] = {}
         for u, r, d in new:
-            by_host.setdefault(host_of_py(u), []).append((u, r, d))
+            if d <= cfg.max_depth:
+                by_host.setdefault(host_of_py(u), []).append((u, r, d))
         sel: list[tuple[str, float, int]] = []
+        open_rows: list[tuple[str, float, int]] = []
         for host, rows in by_host.items():
             remaining = cfg.max_pages_per_domain - res.host_counts.get(host, 0)
+            if remaining <= 0:
+                continue  # pop-time discard, no budget
             rows.sort(key=lambda t: (t[1], t[0]))
-            sel.extend(rows[: max(remaining, 0)])
+            open_rows.extend(rows)
+            sel.extend(rows[:remaining])
 
-        # 4. global budget: (rank, url) order, first k attempt; rest stay
-        sel.sort(key=lambda t: (t[1], t[0]))
+        # 4. global budget: sel ∪ deep in (rank, url) order, first k attempt;
+        #    everything poppable-but-unattempted re-queues
+        pool = sorted(sel + deep, key=lambda t: (t[1], t[0]))
         k = min(remaining_global, cfg.wave_budget)
-        attempts, leftover = sel[:k], sel[k:]
+        attempts = pool[:k]
+        attempted_urls = {u for u, _, _ in attempts}
+        leftover = [
+            row for row in open_rows + deep if row[0] not in attempted_urls
+        ]
 
         successes: list[tuple[str, float, int]] = []
         expansions: list[tuple[str, float, int]] = []
@@ -152,6 +167,91 @@ def crawl_oracle(
     # visit order: (wave, rank, url) — all ranks are 1.0 pre-PageRank
     res.visit_order = [(p["wave_id"], p["url"]) for p in res.pages]
     res.visit_order.sort(key=lambda t: (t[0], t[1]))
+    return res
+
+
+def sequential_crawl_oracle(
+    seeds: list[str],
+    web: dict[str, tuple[str, list[str]]],
+    images: dict[str, tuple[int, str]],
+    robots: dict[str, list[tuple[str, str]]],
+    cfg: OracleConfig,
+) -> OracleResult:
+    """Verbatim replay of the reference's sequential heap loop
+    (crawler/WebCrawler.java crawl() + processUrl()):
+
+      pop lowest (rank, url[, depth]) → consume one budget unit →
+      depth trip keeps the unit (:364) → domain-at-cap discard refunds
+      (:440) → visited refunds (:446) → robots refunds (:451) → fetch
+      refunds (:455) → dup-content refunds (:472) → success stores, counts
+      the domain (:523), enqueues unvisited children (:496-518).
+
+    The tests assert the wave engine/oracle at ``wave_budget=1`` is
+    bit-equal to this, proving the wave linearization degenerates to the
+    reference's pop order — including the failure-refund path where a
+    same-host URL queued behind a failing one still gets crawled.
+    """
+    import heapq
+
+    res = OracleResult()
+    heap: list[tuple[float, str, int]] = []
+    for s in seeds:
+        u = normalize_url_py(s)
+        if u is not None:
+            heapq.heappush(heap, (1.0, u, 0))
+    phash_seen: set[int] = set()
+
+    while heap and res.budget_consumed < cfg.max_pages:
+        r, u, d = heapq.heappop(heap)
+        res.budget_consumed += 1  # crawledPages.getAndIncrement()
+        if d > cfg.max_depth:
+            continue  # consumes budget, stores nothing (:364-367)
+        host = host_of_py(u)
+        if res.host_counts.get(host, 0) >= cfg.max_pages_per_domain:
+            res.budget_consumed -= 1  # :440-444 refund
+            continue
+        if u in res.seen:
+            res.budget_consumed -= 1  # :446-450 refund
+            continue
+        if not is_allowed_py(u, robots.get(host, [])):
+            res.budget_consumed -= 1  # :451-454 refund
+            continue
+        hit = web.get(u)
+        if hit is None:
+            res.budget_consumed -= 1  # :455-461 refund
+            continue
+        image_id, children_raw = hit
+        img = images.get(image_id)
+        if img is None:
+            res.budget_consumed -= 1
+            continue
+        phash, caption = img
+        if caption and sum(ord(c) > 127 for c in caption) / len(caption) > 0.1:
+            res.budget_consumed -= 1  # C14
+            continue
+        if phash in phash_seen:
+            res.budget_consumed -= 1  # :472-478 refund
+            continue
+        phash_seen.add(phash)
+        res.seen.add(u)
+        res.host_counts[host] = res.host_counts.get(host, 0) + 1
+        children_norm = []
+        if d < cfg.max_depth:
+            for c in children_raw:
+                n = normalize_url_py(c)
+                if n is not None:
+                    children_norm.append(n)
+                    if n not in res.seen:
+                        heapq.heappush(heap, (1.0, n, d + 1))
+        res.pages.append(
+            {
+                "url": u, "image_id": image_id, "phash": phash,
+                "caption": caption, "depth": d, "rank": r, "host": host,
+                "wave_id": len(res.pages) + 1, "children": children_norm,
+            }
+        )
+
+    res.visit_order = [(p["wave_id"], p["url"]) for p in res.pages]
     return res
 
 

@@ -14,7 +14,12 @@ import tempfile
 import pytest
 
 from navi_spark.operators.frontier import CrawlConfig, CrawlEngine
-from navi_spark.oracle import OracleConfig, build_oracle_inputs, crawl_oracle
+from navi_spark.oracle import (
+    OracleConfig,
+    build_oracle_inputs,
+    crawl_oracle,
+    sequential_crawl_oracle,
+)
 from navi_spark.sources.datagen import (
     generate_images,
     generate_robots,
@@ -146,7 +151,10 @@ def test_no_bloom_same_result(spark, universe, oracle_result):
 
 
 def test_sequential_heap_mode(spark, universe):
-    """wave_budget=1 = the reference's exact sequential min-heap pop order."""
+    """wave_budget=1 = the reference's exact sequential min-heap pop order:
+    the engine, the wave oracle at budget 1, and the verbatim heap replay
+    (`sequential_crawl_oracle`) must agree on visit sequence, seen set,
+    per-host counts and budget."""
     workdir = tempfile.mkdtemp(prefix="navi-seq-")
     try:
         web, images, robots, seeds = universe
@@ -161,8 +169,144 @@ def test_sequential_heap_mode(spark, universe):
         oweb, oimages, orobots = build_oracle_inputs(N_URLS, N_HOSTS)
         ocfg = OracleConfig(max_pages=4, max_pages_per_domain=3, wave_budget=1)
         ores = crawl_oracle(seeds, oweb, oimages, orobots, ocfg)
-        visit, seen, _ = _engine_state(eng)
+        sres = sequential_crawl_oracle(seeds, oweb, oimages, orobots, ocfg)
+        visit, seen, counts = _engine_state(eng)
         assert visit == ores.visit_order
         assert seen == ores.seen
+        # vs the verbatim heap: same URL sequence (wave ids are the
+        # engine's linearization artifact: ≤1 page per wave ⇒ wave order
+        # IS pop order), same seen/counts/budget
+        assert [u for _, u in visit] == [p["url"] for p in sres.pages]
+        assert seen == sres.seen
+        assert counts == sres.host_counts
+        assert eng.budget_consumed == sres.budget_consumed
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_wave_oracle_matches_sequential_heap():
+    """Pure-python cross-check at several budgets: the wave linearization at
+    wave_budget=1 equals the verbatim reference heap replay on the full
+    synthetic universe (robots blocks, fetch failures, phash dups all
+    present), and larger budgets converge to the same final seen set."""
+    oweb, oimages, orobots = build_oracle_inputs(N_URLS, N_HOSTS)
+    seeds = generate_seeds(6, N_URLS, N_HOSTS)
+    cfg1 = OracleConfig(max_pages=25, max_pages_per_domain=3, wave_budget=1)
+    wres = crawl_oracle(seeds, oweb, oimages, orobots, cfg1)
+    sres = sequential_crawl_oracle(seeds, oweb, oimages, orobots, cfg1)
+    assert [p["url"] for p in wres.pages] == [p["url"] for p in sres.pages]
+    assert wres.seen == sres.seen
+    assert wres.host_counts == sres.host_counts
+    assert wres.budget_consumed == sres.budget_consumed
+    # and at a larger budget too, exhausting the whole universe
+    cfg_all = OracleConfig(max_pages=10_000, max_pages_per_domain=3,
+                           wave_budget=1)
+    wall = crawl_oracle(seeds, oweb, oimages, orobots, cfg_all)
+    sall = sequential_crawl_oracle(seeds, oweb, oimages, orobots, cfg_all)
+    assert [p["url"] for p in wall.pages] == [p["url"] for p in sall.pages]
+    assert wall.seen == sall.seen
+    assert wall.budget_consumed == sall.budget_consumed
+    # NOTE: wave_budget>1 is a different (coarser) linearization — phash
+    # content-dedup is attempt-order-dependent, so its crawled set may
+    # legitimately differ from the sequential order's; only wave_budget=1
+    # claims bit-parity with the reference heap.
+
+
+def test_failure_refund_requeues_same_host(spark):
+    """The ADVICE-high scenario: a same-host URL queued beyond the wave's
+    domain quota must survive into the next wave and be crawled when an
+    earlier same-host attempt fails (reference pop-time semantics: robots
+    failure refunds, WebCrawler.java:451-454 — the engine must not drop
+    the over-quota row)."""
+    u_blocked = "http://a.com/blocked/page"   # sorts first, robots-denied
+    u2, u3 = "http://a.com/x1", "http://a.com/x2"
+    web = spark.createDataFrame(
+        [(u_blocked, "imgA", []), (u2, "imgB", []), (u3, "imgC", [])],
+        "url string, image_id string, children array<string>",
+    )
+    images = spark.createDataFrame(
+        [("imgA", 1, "cap a"), ("imgB", 2, "cap b"), ("imgC", 3, "cap c")],
+        "image_id string, phash long, caption string",
+    ).selectExpr(
+        "image_id", "phash", "caption",
+        "cast(null as binary) as bytes", "cast(null as string) as fmt",
+        "cast(null as int) as w", "cast(null as int) as h",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "user-agent: *\ndisallow: /blocked", 0.0)],
+        "host string, robots_txt string, crawl_delay_s double",
+    )
+    workdir = tempfile.mkdtemp(prefix="navi-refund-")
+    try:
+        cfg = CrawlConfig(
+            max_pages=10, max_pages_per_domain=2, wave_budget=10,
+            n_host_partitions=2, salt_buckets=2, validate_payloads=False,
+        )
+        eng = CrawlEngine(spark, workdir, web, images, robots, cfg)
+        eng.bootstrap([u_blocked, u2, u3])
+        eng.run(max_waves=10)
+        _, seen, counts = _engine_state(eng)
+        # wave 1 claims (u_blocked, u2) under quota 2; u_blocked fails
+        # robots; u3 must have been re-queued and crawled in wave 2
+        assert seen == {u2, u3}
+        assert counts == {"a.com": 2}
+        # the verbatim heap replay agrees
+        from navi_spark.oracle import sequential_crawl_oracle as seq
+        sres = seq(
+            [u_blocked, u2, u3],
+            {u_blocked: ("imgA", []), u2: ("imgB", []), u3: ("imgC", [])},
+            {"imgA": (1, "cap a"), "imgB": (2, "cap b"), "imgC": (3, "cap c")},
+            {"a.com": [("disallow", "/blocked")]},
+            OracleConfig(max_pages=10, max_pages_per_domain=2, wave_budget=10),
+        )
+        assert sres.seen == seen and sres.host_counts == counts
+        # lineage records the robots block as its own cause (not folded
+        # into fetch_failed)
+        lin = eng.t["lineage"].read().collect()
+        assert sum(r["blocked_robots"] for r in lin) == 1
+        assert sum(r["fetch_failed"] for r in lin) == 0
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_resume_after_torn_first_commit(spark, universe, oracle_result):
+    """Crash DURING wave 1: pages/seen got their first-ever (torn) commits
+    but `state` still holds the bootstrap cut with no recorded snapshot for
+    them. resume() must roll those tables back to EMPTY (sentinel-0 path),
+    and the rerun must match the uninterrupted oracle exactly — no
+    double-appended pages."""
+    import pyspark.sql.functions as F
+
+    workdir = tempfile.mkdtemp(prefix="navi-torn-")
+    try:
+        eng, seeds = _mk_engine(spark, universe, workdir)
+        eng.bootstrap(seeds)
+        # simulate the torn middle of wave 1: pages + seen committed,
+        # crash before host_counts/frontier/state
+        junk = spark.createDataFrame(
+            [("http://torn.example/x", "imgX", 0, "torn", 0, 1.0,
+              "torn.example", 1, [])],
+            "url string, image_id string, phash long, caption string, "
+            "depth int, rank double, host string, wave_id int, "
+            "children array<string>",
+        )
+        eng.t["pages"].append(junk, {"wave": 1, "torn": True})
+        eng.t["seen"].append(
+            junk.select("url", F.xxhash64("url").alias("url_hash"),
+                        F.lit(0).alias("host_partition")),
+            {"wave": 1, "torn": True},
+        )
+        assert eng.t["pages"].snapshot_id() == 1
+
+        eng2, _ = _mk_engine(spark, universe, workdir)
+        eng2.resume()
+        assert eng2.wave_id == 0
+        assert eng2.t["pages"].snapshot_id() is None   # rolled back to empty
+        assert eng2.t["seen"].snapshot_id() is None
+        eng2.run(max_waves=30)
+        visit, seen, counts = _engine_state(eng2)
+        assert visit == oracle_result.visit_order
+        assert seen == oracle_result.seen
+        assert counts == oracle_result.host_counts
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
