@@ -563,6 +563,168 @@ def r3_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-field BM25F twins: fields synthesized from token POSITIONS so both
+# engines derive identical fields from one tokenization — pos 0-1 → h1,
+# 2-3 → h2, 4-5 → a, rest → other (title/heading/anchor/body analog).
+#
+# The synthetic corpus vocabulary is so small that every real word appears
+# in >half the docs — idf ≤ 0 — and the reference SKIPS non-positive-idf
+# terms (Ranker.java:230-232), which would make the gate vacuous. Both
+# sides therefore append two deterministic rare MARKER words per doc
+# (doc_id-derived), giving the query terms df ≈ N/7 and N/5 (idf > 0) and
+# giving most docs TWO query terms — which is what makes the
+# overwrite-parity twin actually diverge from the summing one.
+_T_MARKS = ["ta", "tb", "tc", "td", "te", "tf", "tg"]
+_U_MARKS = ["ua", "ub", "uc", "ud", "ue"]
+_BM25F_TERMS = ("tb", "uc", "ud")
+
+_T_SQL = "[" + ", ".join(f"'{m}'" for m in _T_MARKS) + "]"
+_U_SQL = "[" + ", ".join(f"'{m}'" for m in _U_MARKS) + "]"
+_AUG_TEXT_SQL = (
+    f"text || ' ' || ({_T_SQL})[(doc_id % 7) + 1]"
+    f" || ' ' || ({_U_SQL})[(doc_id % 5) + 1]"
+)
+_BM25F_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25F_TERMS)
+
+_FTOKS_SQL = f"""
+    SELECT doc_id, word,
+           CASE WHEN pos < 2 THEN 'h1' WHEN pos < 4 THEN 'h2'
+                WHEN pos < 6 THEN 'a' ELSE 'other' END AS field
+    FROM (SELECT doc_id, w AS word, pos
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(
+                           regexp_replace(lower({_AUG_TEXT_SQL}),
+                                          '[^a-z\\s]', '', 'g'),
+                           '\\s+')) AS w,
+                       unnest(range(len(string_split_regex(
+                           regexp_replace(lower({_AUG_TEXT_SQL}),
+                                          '[^a-z\\s]', '', 'g'),
+                           '\\s+')))) AS pos
+                FROM documents) u
+          WHERE w <> '') t
+"""
+
+_BM25F_CORE_SQL = f"""
+    ftoks AS ({_FTOKS_SQL}),
+    n AS (SELECT count(*) AS n FROM documents),
+    lens AS (SELECT doc_id,
+                    count(*) FILTER (field = 'h1') AS len_h1,
+                    count(*) FILTER (field = 'h2') AS len_h2,
+                    count(*) FILTER (field = 'a')  AS len_a,
+                    count(*) FILTER (field = 'other') AS len_other
+             FROM ftoks GROUP BY doc_id),
+    avgs AS (SELECT GREATEST(avg(len_h1), 1e-9) AS a_h1,
+                    GREATEST(avg(len_h2), 1e-9) AS a_h2,
+                    GREATEST(avg(len_a), 1e-9)  AS a_a,
+                    GREATEST(avg(len_other), 1e-9) AS a_other FROM lens),
+    tf AS (SELECT doc_id, word,
+                  count(*) FILTER (field = 'h1') AS tf_h1,
+                  count(*) FILTER (field = 'h2') AS tf_h2,
+                  count(*) FILTER (field = 'a')  AS tf_a,
+                  count(*) FILTER (field = 'other') AS tf_other
+           FROM ftoks WHERE word IN ({_BM25F_TERMS_SQL})
+           GROUP BY doc_id, word),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM ftoks
+           WHERE word IN ({_BM25F_TERMS_SQL}) GROUP BY word),
+    idf AS (SELECT word,
+                   log10(((SELECT n FROM n) - df + 0.5) / (df + 0.5)) AS idf
+            FROM df
+            WHERE log10(((SELECT n FROM n) - df + 0.5) / (df + 0.5)) > 0),
+    term_scores AS (
+        SELECT tf.doc_id, tf.word,
+               idf.idf * (
+                 2.5 * tf_h1 * 2.5 / (tf_h1 + 1.5 * (0.25 + 0.75 * len_h1 / a_h1))
+               + 2.0 * tf_h2 * 2.5 / (tf_h2 + 1.5 * (0.25 + 0.75 * len_h2 / a_h2))
+               + 1.5 * tf_a  * 2.5 / (tf_a  + 1.5 * (0.25 + 0.75 * len_a  / a_a))
+               + 1.0 * tf_other * 2.5
+                     / (tf_other + 1.5 * (0.25 + 0.75 * len_other / a_other))
+               ) AS term_score
+        FROM tf JOIN idf USING (word) JOIN lens USING (doc_id), avgs)
+"""
+
+
+def _bm25f_spark(spark: SparkSession, sf_dir: str, last_term_overwrite: bool):
+    """Shared builder: position-derived fields → pivot postings/lengths →
+    the REAL ranker.bm25f (weights 2.5/2.0/1.5/1.0)."""
+    from navi_spark.operators.ranker import bm25f
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    aug = F.concat(
+        F.col("text"), F.lit(" "),
+        F.element_at(F.array(*[F.lit(m) for m in _T_MARKS]),
+                     (F.col("doc_id") % 7 + 1).cast("int")),
+        F.lit(" "),
+        F.element_at(F.array(*[F.lit(m) for m in _U_MARKS]),
+                     (F.col("doc_id") % 5 + 1).cast("int")),
+    )
+    words = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.regexp_replace(F.lower(aug), "[^a-z\\s]", ""), "\\s+")
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    field = F.when(F.col("pos") < 2, "h1").when(F.col("pos") < 4, "h2")
+    field = field.when(F.col("pos") < 6, "a").otherwise("other")
+    ft = words.withColumn("field", field)
+    fields = ["h1", "h2", "a", "other"]
+    postings = (
+        ft.groupBy("doc_id", "word")
+        .pivot("field", fields)
+        .agg(F.count(F.lit(1)))
+        .fillna(0)
+        .select("doc_id", "word",
+                *[F.col(f_).alias(f"tf_{f_}") for f_ in fields])
+    )
+    lengths = (
+        ft.groupBy("doc_id")
+        .pivot("field", fields)
+        .agg(F.count(F.lit(1)))
+        .fillna(0)
+        .select("doc_id", *[F.col(f_).alias(f"len_{f_}") for f_ in fields])
+    )
+    rel = bm25f(postings, lengths, _BM25F_TERMS, n,
+                last_term_overwrite=last_term_overwrite)
+    return rel.select("doc_id", F.round("relevance", 6).alias("score"))
+
+
+@_q(
+    "r3_bm25f_fields",
+    f"""
+    WITH {_BM25F_CORE_SQL}
+    SELECT doc_id, ROUND(SUM(term_score), 6) AS score
+    FROM term_scores GROUP BY doc_id
+    """,
+)
+def r3_bm25f_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 multi-field BM25F with the reference's field weights 2.5/2.0/
+    1.5/1.0 (Ranker.java:133,136), summed over terms (the documented-fix
+    default). Exercises ranker.bm25f's weighted path; the oracle recomputes
+    every per-field term from the same position-derived fields."""
+    return _bm25f_spark(spark, sf_dir, last_term_overwrite=False)
+
+
+@_q(
+    "r3_bm25f_overwrite_parity",
+    f"""
+    WITH {_BM25F_CORE_SQL}
+    SELECT doc_id,
+           ROUND(arg_max(term_score,
+                         CASE word WHEN 'tb' THEN 1 WHEN 'uc' THEN 2
+                              WHEN 'ud' THEN 3 END), 6) AS score
+    FROM term_scores GROUP BY doc_id
+    """,
+)
+def r3_bm25f_overwrite_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 in reference-bug parity mode: Ranker.java:268 OVERWRITES the
+    per-doc score on each query term, so only the LAST term present counts.
+    The oracle's arg_max over the term order states that semantics
+    independently — a green row proves the parity flag reproduces the bug
+    exactly, and (vs r3_bm25f_fields) that the flag actually changes
+    results."""
+    return _bm25f_spark(spark, sf_dir, last_term_overwrite=True)
+
+
 @_q(
     "r8_hybrid_topk",
     f"""
