@@ -25,6 +25,28 @@ from navi_spark import queries as _q  # noqa: E402
 _SHIPPED: set[int] = set()
 
 
+def _pkg_content_hash() -> str:
+    """Stable hash of every navi_spark source file — the zip is named by
+    it, so a source edit always ships a FRESH copy to the workers (a fixed
+    path would silently reuse a stale zip and let driver/executor code
+    diverge) and concurrent users never collide on one world-readable
+    file."""
+    import hashlib
+
+    h = hashlib.sha256()
+    pkg = os.path.join(_REPO, "navi_spark")
+    for root, dirs, files in sorted(os.walk(pkg)):
+        dirs.sort()
+        for name in sorted(files):
+            if name.endswith((".pyc", ".pyo")) or "__pycache__" in root:
+                continue
+            p = os.path.join(root, name)
+            h.update(os.path.relpath(p, pkg).encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def _ensure_workers_can_import(spark: SparkSession) -> None:
     """Ship navi_spark to the python workers (spark-submit --py-files
     equivalent): the driver process may not export this repo on PYTHONPATH,
@@ -32,7 +54,8 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _SHIPPED:
         return
-    zip_base = os.path.join(tempfile.gettempdir(), "navi_spark_pkg")
+    staging = tempfile.mkdtemp(prefix="navi-pkg-")
+    zip_base = os.path.join(staging, f"navi_spark_{_pkg_content_hash()}")
     zip_path = zip_base + ".zip"
     if not os.path.exists(zip_path):
         shutil.make_archive(

@@ -97,6 +97,70 @@ def validate_payload_udf(
     )
 
 
+def payload_etag(phash_col: str = "phash", caption_col: str = "caption") -> Column:
+    """Synthetic server ETag (C13): an opaque validator that is a pure
+    function of the payload version, so it changes exactly when content
+    does — the contract If-None-Match relies on (WebCrawler.java:181-183,
+    222-224: the reference stores the response ETag on the Url)."""
+    return F.format_string(
+        '"%x"', F.xxhash64(F.col(phash_col), F.col(caption_col))
+    )
+
+
+def payload_last_modified(phash_col: str = "phash") -> Column:
+    """Synthetic Last-Modified header (C13): deterministic per payload
+    version (WebCrawler.java:185-187, 225-227)."""
+    epoch = F.lit(1_500_000_000) + F.pmod(F.xxhash64(F.col(phash_col)),
+                                          F.lit(300_000_000))
+    return F.date_format(
+        F.timestamp_seconds(epoch), "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
+    )
+
+
+def classify_recrawl(
+    old_pages: DataFrame, refetch: DataFrame
+) -> DataFrame:
+    """C13+C21: conditional-GET recrawl classification
+    (WebCrawler.java:674-756 recrawlUrl, DBManager.java:1019-1049).
+
+    `old_pages`: previous snapshot — (url, phash, children, etag).
+    `refetch`:   current fetch results — (url, phash, children, etag);
+                 its etag is the server's CURRENT validator.
+
+    Per reference semantics:
+      * server validator still matches the stored one ⇒ HTTP 304 ⇒
+        'touched' — content fields kept, only lastTime bumped, and the
+        global budget is REFUNDED (:697);
+      * refetched but content hash equal ⇒ 'unchanged' — old fields kept
+        (:709-718), budget consumed;
+      * hash differs ⇒ 'changed' — fields updated, link_structure_changed
+        = old children ≠ new children (:745-747), which is what triggers
+        the PageRank recompute (:571-580).
+
+    One inner join on url, pure column algebra — the MERGE source for
+    catalog.merge_upsert on Iceberg."""
+    old = old_pages.select(
+        "url",
+        F.col("phash").alias("old_phash"),
+        F.col("children").alias("old_children"),
+        F.col("etag").alias("old_etag"),
+    )
+    j = refetch.join(old, "url", "inner")
+    status = (
+        F.when(F.col("etag") == F.col("old_etag"), "touched")
+        .when(F.col("phash") == F.col("old_phash"), "unchanged")
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "url", "phash", "children",
+        status.alias("status"),
+        ((status == "changed")
+         & ~(F.col("children") == F.col("old_children")))
+        .alias("link_structure_changed"),
+        (status != "touched").alias("budget_consumed"),
+    )
+
+
 def non_ascii_ratio(col: Column) -> Column:
     """Share of non-ASCII characters (C14, WebCrawler.java:232-237)."""
     total = F.length(col)

@@ -69,14 +69,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from navi_spark.catalog import SnapshotTable
 from navi_spark.functions.urlnorm import host_expr, normalize_url_udf
 from navi_spark.operators import bloom
-from navi_spark.operators.fetch import language_gate, validate_payload_udf
+from navi_spark.operators.fetch import (
+    language_gate,
+    payload_etag,
+    payload_last_modified,
+    validate_payload_udf,
+)
 from navi_spark.operators.robots import filter_allowed, parsed_rules_table
 
 FRONTIER_SCHEMA = "url string, rank double, depth int, host string, url_hash long"
 SEEN_SCHEMA = "url string, url_hash long, host_partition int"
 PAGES_SCHEMA = (
     "url string, image_id string, phash long, caption string, depth int, "
-    "rank double, host string, wave_id int, children array<string>"
+    "rank double, host string, wave_id int, children array<string>, "
+    "etag string, last_modified string"
 )
 HOST_COUNTS_SCHEMA = "host string, successes long"
 PHASH_SEEN_SCHEMA = "phash long"
@@ -107,6 +113,13 @@ class CrawlConfig:
     use_bloom: bool = True
     validate_payloads: bool = True
     max_waves: int = 10_000
+    # Parity flag mirroring the ranker's last_term_overwrite: the SHIPPED
+    # reference binary wraps every robots rule in Pattern.quote
+    # (RobotServer.java:228), so no rule ever matches and nothing is ever
+    # blocked. True reproduces that bug (allow everything); False (default)
+    # implements the intended semantics (robots.py). Crawl-order parity
+    # claims against the running Java binary require True.
+    robots_reference_bug: bool = False
 
 
 @dataclass
@@ -327,7 +340,11 @@ class CrawlEngine:
         # dedup (C15). Every attempt gets an outcome label; lineage, metrics
         # and wave stats all derive from this single DataFrame, so no
         # per-stage count() jobs remain on the hot pipeline.
-        att = filter_allowed(attempts, self.rules).drop("crawl_delay_s")
+        if cfg.robots_reference_bug:
+            # shipped-binary parity: Pattern.quote'd rules never match
+            att = attempts.withColumn("robots_allowed", F.lit(True))
+        else:
+            att = filter_allowed(attempts, self.rules).drop("crawl_delay_s")
         att = att.join(self.web, on="url", how="left")
         att = att.join(self.images, on="image_id", how="left")
         ok_fetch = (
@@ -396,9 +413,16 @@ class CrawlEngine:
 
         # ---- 9. commit wave outputs (C18/C19): one snapshot per table;
         #          `state` last records the consistent cut
+        # C13 validators: the synthetic web's ETag/Last-Modified are
+        # deterministic functions of the payload version (a real server's
+        # validators change exactly when content does) — stored with the
+        # page and replayed as If-None-Match/If-Modified-Since on recrawl
+        # (WebCrawler.java:175-196, Url.java:52-65)
         pages_out = successes.select(
             "url", "image_id", "phash", "caption", "depth", "rank", "host",
             F.lit(w).alias("wave_id"), "children",
+            payload_etag().alias("etag"),
+            payload_last_modified().alias("last_modified"),
         )
         self.t["pages"].append(pages_out, {"wave": w})
         self.t["seen"].append(

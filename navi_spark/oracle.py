@@ -29,6 +29,9 @@ class OracleConfig:
     max_pages_per_domain: int = 10
     wave_budget: int = 1000
     max_waves: int = 10_000
+    # shipped-binary parity (RobotServer.java:228 Pattern.quote bug:
+    # no rule ever matches → nothing blocked); mirrors CrawlConfig
+    robots_reference_bug: bool = False
 
 
 @dataclass
@@ -111,9 +114,11 @@ def crawl_oracle(
             if d > cfg.max_depth:
                 res.budget_consumed += 1
                 continue
-            # 6. robots
+            # 6. robots (allow-all in shipped-binary parity mode)
             host = host_of_py(u)
-            if not is_allowed_py(u, robots.get(host, [])):
+            if not cfg.robots_reference_bug and not is_allowed_py(
+                u, robots.get(host, [])
+            ):
                 continue
             # 7. fetch + validate + language gate
             hit = web.get(u)
@@ -213,7 +218,9 @@ def sequential_crawl_oracle(
         if u in res.seen:
             res.budget_consumed -= 1  # :446-450 refund
             continue
-        if not is_allowed_py(u, robots.get(host, [])):
+        if not cfg.robots_reference_bug and not is_allowed_py(
+            u, robots.get(host, [])
+        ):
             res.budget_consumed -= 1  # :451-454 refund
             continue
         hit = web.get(u)

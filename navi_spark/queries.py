@@ -1519,6 +1519,95 @@ def c12_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q4_suggestions_insert",
+    """
+    SELECT DISTINCT regexp_extract(lower(text), '^(\\S+ \\S+)', 1) AS suggestion
+    FROM documents WHERE doc_id % 3 <= 1
+    """,
+)
+def q4_suggestions_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 INSERT path: the reference stores each issued query with an
+    exact-duplicate check (DBManager.java:680-703 insertSuggestion). Here
+    two overlapping suggestion batches flow through catalog.merge_upsert
+    (the Iceberg MERGE seam) keyed on the suggestion text — the read-back
+    table must equal the distinct union, proving the dup check held across
+    batches AND within a batch."""
+    import shutil
+    import tempfile
+
+    from navi_spark.catalog import SnapshotTable
+
+    d = load(spark, sf_dir, "documents")
+    sugg = d.select(
+        (F.col("doc_id") % 3).alias("m"),
+        F.regexp_extract(F.lower("text"), r"^(\S+ \S+)", 1).alias("suggestion"),
+    )
+    batch1 = sugg.filter(F.col("m") == 0).select("suggestion").distinct()
+    batch2 = sugg.filter(F.col("m") <= 1).select("suggestion").distinct()
+    workdir = tempfile.mkdtemp(prefix="navi-sugg-")
+    try:
+        tbl = SnapshotTable(spark, workdir)
+        tbl.merge_upsert(batch1, "suggestion", {"batch": 1})
+        tbl.merge_upsert(batch2, "suggestion", {"batch": 2})
+        rows = tbl.read().collect()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, "suggestion string")
+
+
+@_q(
+    "c21_recrawl_changes",
+    """
+    WITH base AS (
+        SELECT 'https://doc.test/' || doc_id AS url, doc_id % 10 AS m
+        FROM documents
+    )
+    SELECT url,
+           CASE WHEN m <= 5 THEN 'touched'
+                WHEN m <= 7 THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           (m = 9) AS link_structure_changed,
+           (m > 5) AS budget_consumed
+    FROM base
+    """,
+)
+def c21_recrawl_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13+C21: conditional-GET recrawl classification through the real
+    operator (fetch.classify_recrawl). The synthetic server state makes all
+    three reference outcomes occur: m∈0-5 → validator match → 304 'touched'
+    (budget refunded, WebCrawler.java:697); m∈6-7 → validator rotated but
+    content hash equal → 'unchanged' (:709-718); m∈8-9 → 'changed', with
+    link structure changing only at m=9 (:745-747). The oracle states the
+    expected class per row directly."""
+    from navi_spark.operators.fetch import classify_recrawl
+
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://doc.test/"), F.col("doc_id").cast("string"))
+    m = F.col("doc_id") % 10
+    old_children = F.array((F.col("doc_id") + 1).cast("string"),
+                           (F.col("doc_id") + 2).cast("string"))
+    old = d.select(
+        url.alias("url"), F.col("n_chars").alias("phash"),
+        old_children.alias("children"),
+        F.concat(F.lit("v"), (F.col("doc_id") % 5).cast("string")).alias("etag"),
+    )
+    new = d.select(
+        url.alias("url"),
+        F.when(m >= 8, F.col("n_chars") + 1).otherwise(F.col("n_chars"))
+        .alias("phash"),
+        F.when(m == 9, F.array((F.col("doc_id") + 3).cast("string")))
+        .otherwise(old_children).alias("children"),
+        F.when(m <= 5,
+               F.concat(F.lit("v"), (F.col("doc_id") % 5).cast("string")))
+        .otherwise(F.concat(F.lit("w"), (F.col("doc_id") % 5).cast("string")))
+        .alias("etag"),
+    )
+    return classify_recrawl(old, new).select(
+        "url", "status", "link_structure_changed", "budget_consumed"
+    )
+
+
 # ---------------------------------------------------------------------------
 # third batch: sessionization, multi-table join, IVF ANN
 # ---------------------------------------------------------------------------

@@ -103,6 +103,44 @@ def test_index_feed_contract(std_run, oracle_result):
     assert feed == expected
 
 
+def test_pages_carry_conditional_get_validators(std_run):
+    """C13: every stored page carries deterministic ETag/Last-Modified
+    validators (WebCrawler.java:181-187,222-227) — a re-fetch of unchanged
+    content reproduces the same ETag (the 304 contract)."""
+    from navi_spark.operators.fetch import payload_etag
+
+    pages = std_run.pages()
+    rows = pages.select("etag", "last_modified").collect()
+    assert rows and all(r["etag"] and r["last_modified"] for r in rows)
+    recomputed = pages.select(
+        "url", (payload_etag() == pages.etag).alias("same")
+    ).collect()
+    assert all(r["same"] for r in recomputed)
+
+
+def test_classify_recrawl_semantics(spark):
+    """C13+C21: 304 → touched (budget refunded), same hash → unchanged,
+    changed hash → changed with link_structure_changed iff children moved
+    (WebCrawler.java:674-756)."""
+    from navi_spark.operators.fetch import classify_recrawl
+
+    schema = ("url string, phash long, children array<string>, etag string")
+    old = spark.createDataFrame(
+        [("u1", 10, ["a"], "e1"), ("u2", 20, ["a"], "e2"),
+         ("u3", 30, ["a"], "e3"), ("u4", 40, ["a"], "e4")], schema)
+    new = spark.createDataFrame(
+        [("u1", 10, ["a"], "e1"),            # validator match → 304 touched
+         ("u2", 20, ["b"], "e2x"),           # rotated etag, same hash → unchanged
+         ("u3", 31, ["a"], "e3x"),           # changed, same children
+         ("u4", 41, ["b"], "e4x")], schema)  # changed + structure
+    out = {r["url"]: r for r in classify_recrawl(old, new).collect()}
+    assert out["u1"]["status"] == "touched" and not out["u1"]["budget_consumed"]
+    assert out["u2"]["status"] == "unchanged" and out["u2"]["budget_consumed"]
+    assert out["u3"]["status"] == "changed"
+    assert not out["u3"]["link_structure_changed"]
+    assert out["u4"]["status"] == "changed" and out["u4"]["link_structure_changed"]
+
+
 def test_lineage_and_metrics_written(std_run):
     lin = std_run.t["lineage"].read()
     met = std_run.t["metrics"].read()
@@ -267,6 +305,28 @@ def test_failure_refund_requeues_same_host(spark):
         assert sum(r["fetch_failed"] for r in lin) == 0
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_robots_reference_bug_parity_mode():
+    """RobotServer.java:228 wraps rules in Pattern.quote, so the SHIPPED
+    binary never blocks anything. The parity flag must reproduce that
+    (allow-all) in both oracles, and differ from the intended-semantics
+    default whenever disallow rules exist."""
+    oweb, oimages, orobots = build_oracle_inputs(N_URLS, N_HOSTS)
+    seeds = generate_seeds(6, N_URLS, N_HOSTS)
+    base = dict(max_pages=40, max_pages_per_domain=3, wave_budget=1)
+    fixed = OracleConfig(**base)
+    buggy = OracleConfig(**base, robots_reference_bug=True)
+    w_fix = crawl_oracle(seeds, oweb, oimages, orobots, fixed)
+    w_bug = crawl_oracle(seeds, oweb, oimages, orobots, buggy)
+    s_bug = sequential_crawl_oracle(seeds, oweb, oimages, orobots, buggy)
+    # parity mode agrees across wave/sequential linearizations
+    assert [p["url"] for p in w_bug.pages] == [p["url"] for p in s_bug.pages]
+    assert w_bug.seen == s_bug.seen
+    # and the flag genuinely changes behavior: robots-disallowed host5
+    # (/p/1* disallowed) pages are crawled only in bug mode
+    extra = w_bug.seen - w_fix.seen
+    assert extra and any("host5.test/p/1" in u for u in extra)
 
 
 def test_resume_after_torn_first_commit(spark, universe, oracle_result):
