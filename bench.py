@@ -41,6 +41,7 @@ HEADLINE_QUERIES = (
     "c23_pagerank",
     "i3_tokenize",
     "r3_bm25",
+    "r8_hybrid_topk",
     "sim_cosine_brute",
     "c15_content_dedup",
     "tpch_q1_pricing_summary",
@@ -176,6 +177,35 @@ def main() -> None:
             fn(spark, SF_DIR).count()
             best = min(best, time.monotonic() - t0)
         qtimes[name] = round(best, 3)
+
+    # end-to-end search latency (the reference's headline: ~0.5 s/query on
+    # a 6k-doc corpus, README.md:96). Index built once OUTSIDE the timed
+    # window (the reference also queries a prebuilt index); the timed span
+    # is parse → BM25F → hybrid rank → top-k → snippets.
+    from navi_spark.operators import indexer
+    from navi_spark.operators.search import search as search_e2e
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        ((F.col("doc_id") % 100) / 100.0).alias("rank"),
+        F.regexp_extract(F.lower("text"), r"^(\S+ \S+ \S+)", 1).alias("h1"),
+        F.regexp_replace(F.lower("text"), r"^(\S+ \S+ \S+)\s*", "").alias("other"),
+    ).cache()
+    fields = {"h1": "h1", "other": "other"}
+    postings = indexer.build_postings(pages, "url", fields, stem=False).cache()
+    lengths = indexer.field_lengths(pages, "url", fields, stem=False).cache()
+    n_docs = pages.count()
+    postings.count(), lengths.count()
+    for qname, qtext in (("search_terms", "spark merge window"),
+                         ("search_phrase", '"hash join"')):
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.monotonic()
+            search_e2e(qtext, pages, postings, lengths, fields, n_docs, k=10)
+            best = min(best, time.monotonic() - t0)
+        qtimes[qname] = round(best, 3)
+    pages.unpersist(), postings.unpersist(), lengths.unpersist()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {

@@ -73,3 +73,45 @@ def test_broadcast_join_for_small_rules(spark):
     )
     out = filter_allowed(cand, parsed_rules_table(robots))
     assert "BroadcastHashJoin" in explain_str(out, "simple")
+
+
+def test_ngram_jaccard_candidate_path_no_shingle_selfjoin(spark):
+    """The verify stage of minhash→verify must be candidate-pair-driven:
+    NO join keyed on shingle_hash alone may appear in the plan (a hot
+    boilerplate shingle would make such a join quadratic in its document
+    frequency at 100 TB — the round-1 weak point). Every shingle join must
+    be co-keyed on a document id."""
+    import re
+
+    from navi_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "common words here plus doc specific tail %d" % i)
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingles_df(docs, "doc_id", "text", n=2)
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    out = dedup.ngram_jaccard_pairs(sh, threshold=0.0, candidates=cand)
+    plan = explain_str(out, "simple")
+    for m in re.finditer(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\w*"
+        r"(?:\s+\w+)?\s+\[([^\]]*)\], \[([^\]]*)\]", plan
+    ):
+        left = m.group(1)
+        assert not ("shingle_hash" in left and "id" not in left), (
+            "shingle-only self-join in candidate path:\n" + plan
+        )
+    # and the restriction is semantics-preserving: candidate-path results
+    # equal the unrestricted path filtered to the candidate pairs
+    unrestricted = dedup.ngram_jaccard_pairs(sh, threshold=0.0)
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in unrestricted.join(cand, ["id_a", "id_b"], "left_semi").collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in out.collect()
+    }
+    assert got == want
