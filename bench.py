@@ -116,18 +116,29 @@ def frontier_throughput(
     cand = cand.groupBy("url").agg(
         F.min("rank").alias("rank"), F.first("host").alias("host")
     )
-    new = cand.join(seen, "url", "left_anti")
-    # two-level politeness window (salted pre-trim defuses the hot host)
+    new = cand.join(seen, "url", "left_anti").persist()
+    # politeness: window ONLY the over-cap (hot) hosts. In a Zipf host
+    # distribution almost every host is under cap — rows of under-cap hosts
+    # all survive, so sorting them in a window is pure waste (and the
+    # per-host sort was the worst-scaling stage in round 1: two full-data
+    # window shuffles → now one tiny count agg + a window over the hot
+    # sliver). The hot-host row set still goes through the two-level salted
+    # window so no single task ever owns a whole hot host.
     cap = 10_000
-    salted = new.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(16)))
+    host_n = new.groupBy("host").agg(F.count("*").alias("_n"))
+    hot_hosts = host_n.filter(F.col("_n") > cap).select("host")
+    cold = new.join(F.broadcast(hot_hosts), "host", "left_anti")
+    hot = new.join(F.broadcast(hot_hosts), "host", "left_semi")
+    salted = hot.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(16)))
     w1 = Window.partitionBy("host", "_salt").orderBy("rank", "url")
     pre = salted.withColumn("_r1", F.row_number().over(w1)).filter(
         F.col("_r1") <= cap
     ).drop("_r1", "_salt")
     w2 = Window.partitionBy("host").orderBy("rank", "url")
-    sel = pre.withColumn("_r2", F.row_number().over(w2)).filter(
+    sel_hot = pre.withColumn("_r2", F.row_number().over(w2)).filter(
         F.col("_r2") <= cap
-    )
+    ).drop("_r2")
+    sel = cold.unionByName(sel_hot)
     # global budget: for large k a plain orderBy().limit(k) makes the driver
     # single-threadedly merge 64 × k rows (a flat ~20s that kills scaling).
     # Scalable form: persist survivors once, find a rank threshold near the
@@ -143,6 +154,7 @@ def frontier_throughput(
     scheduled = head.orderBy("rank", "url").limit(k).count()
     sel.unpersist()
     wall = time.monotonic() - t0
+    new.unpersist()
     seen.unpersist()
     return {
         "n_urls": n_urls,
