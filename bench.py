@@ -125,34 +125,47 @@ def frontier_throughput(
     # sliver). The hot-host row set still goes through the two-level salted
     # window so no single task ever owns a whole hot host.
     cap = 10_000
-    host_n = new.groupBy("host").agg(F.count("*").alias("_n"))
-    hot_hosts = host_n.filter(F.col("_n") > cap).select("host")
-    cold = new.join(F.broadcast(hot_hosts), "host", "left_anti")
-    hot = new.join(F.broadcast(hot_hosts), "host", "left_semi")
-    salted = hot.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(16)))
-    w1 = Window.partitionBy("host", "_salt").orderBy("rank", "url")
-    pre = salted.withColumn("_r1", F.row_number().over(w1)).filter(
-        F.col("_r1") <= cap
-    ).drop("_r1", "_salt")
-    w2 = Window.partitionBy("host").orderBy("rank", "url")
-    sel_hot = pre.withColumn("_r2", F.row_number().over(w2)).filter(
-        F.col("_r2") <= cap
-    ).drop("_r2")
-    sel = cold.unionByName(sel_hot)
+    # one tiny aggregation drives BOTH the hot-host split and the budget
+    # threshold: |selected| = Σ min(n_h, cap) exactly, so no second pass
+    # (round-1's persist+count+approxQuantile over the survivors cost two
+    # extra full materializations and erased the window savings)
+    host_rows = new.groupBy("host").agg(F.count("*").alias("_n")).collect()
+    hot_set = [r["host"] for r in host_rows if r["_n"] > cap]
+    r_total = sum(min(r["_n"], cap) for r in host_rows)
+    if hot_set:
+        # a handful of Zipf-hot hosts → literal isin predicate; with an
+        # adversarially large hot set this becomes a broadcast semi-join,
+        # same plan shape
+        is_hot = F.col("host").isin(*hot_set)
+        salted = new.filter(is_hot).withColumn(
+            "_salt", F.pmod(F.xxhash64("url"), F.lit(16))
+        )
+        w1 = Window.partitionBy("host", "_salt").orderBy("rank", "url")
+        pre = salted.withColumn("_r1", F.row_number().over(w1)).filter(
+            F.col("_r1") <= cap
+        ).drop("_r1", "_salt")
+        w2 = Window.partitionBy("host").orderBy("rank", "url")
+        sel_hot = pre.withColumn("_r2", F.row_number().over(w2)).filter(
+            F.col("_r2") <= cap
+        ).drop("_r2")
+        sel = new.filter(~is_hot).unionByName(sel_hot)
+    else:
+        sel = new
     # global budget: for large k a plain orderBy().limit(k) makes the driver
     # single-threadedly merge 64 × k rows (a flat ~20s that kills scaling).
-    # Scalable form: persist survivors once, find a rank threshold near the
-    # k-th value, TakeOrdered only the ~k-row head.
+    # Scalable form: rank is a uniform hash, so a threshold of 1.5·k/|sel|
+    # bounds the head at ~1.5k rows (hot-host trimming only biases kept
+    # ranks LOW, adding head rows — never losing top-k ones); TakeOrdered
+    # runs on the head only, with an exact-path guard if the head ever
+    # came up short.
     k = 100_000
-    sel = sel.persist()
-    r_total = sel.count()
     if k < r_total:
-        t_rank = sel.stat.approxQuantile("rank", [min(1.0, 1.5 * k / r_total)], 0.01)[0]
-        head = sel.filter(F.col("rank") <= t_rank)
+        head = sel.filter(F.col("rank") <= min(1.0, 1.5 * k / r_total))
     else:
         head = sel
     scheduled = head.orderBy("rank", "url").limit(k).count()
-    sel.unpersist()
+    if scheduled < min(k, r_total):  # statistical guard (P ≈ e^-3000)
+        scheduled = sel.orderBy("rank", "url").limit(k).count()
     wall = time.monotonic() - t0
     new.unpersist()
     seen.unpersist()

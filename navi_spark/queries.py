@@ -1520,6 +1520,26 @@ def c12_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "i1_unindexed_scan",
+    """
+    SELECT doc_id FROM documents WHERE doc_id % 4 <> 0 AND doc_id >= 100
+    """,
+)
+def i1_unindexed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1: unindexed scan + the isIndexed handoff (DBManager
+    getUnindexedUrls → Indexer marks indexed → next scan excludes them).
+    Docs with doc_id%4==0 are already indexed; the indexer takes the first
+    batch (doc_id<100) of the unindexed scan; the gate returns the NEXT
+    scan — everything unindexed and not in the processed batch."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 4 == 0).alias("indexed")
+    )
+    unindexed = d.filter(~F.col("indexed")).select("doc_id")
+    batch = unindexed.filter(F.col("doc_id") < 100)
+    return unindexed.join(batch, "doc_id", "left_anti")
+
+
+@_q(
     "q4_suggestions_insert",
     """
     SELECT DISTINCT regexp_extract(lower(text), '^(\\S+ \\S+)', 1) AS suggestion
