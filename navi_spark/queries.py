@@ -1022,6 +1022,61 @@ def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_hourly_rollup",
+    """
+    SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming driven END TO END through the driver gate: the
+    events table is replayed through readStream → watermarked tumbling
+    windows (streaming.wave_stream.streaming_hourly_rollup) → memory sink
+    with trigger(availableNow), and the sink contents must hash-match the
+    batch SQL rollup. Complete output mode keeps the result independent of
+    how the file source splits micro-batches (append would emit only
+    watermark-closed windows)."""
+    import os
+    import tempfile
+    import uuid
+
+    from navi_spark.streaming.wave_stream import streaming_hourly_rollup
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory; the driver ships one parquet FILE
+    stream_dir = path
+    if os.path.isfile(path):
+        stream_dir = tempfile.mkdtemp(prefix="navi-stream-src-")
+        os.symlink(os.path.abspath(path),
+                   os.path.join(stream_dir, "events.parquet"))
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+    rolled = streaming_hourly_rollup(src)
+    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        rolled.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = (
+        spark.table(name)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH").alias("hour_bucket"),
+            "event_type", "n",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        .collect()
+    )
+    q.stop()
+    return spark.createDataFrame(
+        rows, "hour_bucket string, event_type string, n long, sum_value double"
+    )
+
+
+@_q(
     "tpch_q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
