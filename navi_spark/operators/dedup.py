@@ -262,17 +262,21 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_neardup_pairs(sims: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_neardup_pairs(
+    sims: DataFrame, max_hamming: int = 8, bits: int = 64
+) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ `max_hamming`, with
-    GUARANTEED recall: the 64 bits split into `max_hamming + 1` blocks, so
-    by pigeonhole any pair within distance ≤ max_hamming agrees exactly on
-    at least one whole block and meets in that block's bucket. The number
-    of blocks is DERIVED from max_hamming (never fewer — a fixed 4-block
-    split only guarantees distance ≤ 3 and silently loses recall beyond).
-    Join is block-local; wider max_hamming ⇒ narrower blocks ⇒ bigger
-    buckets — the standard recall/cost trade, paid explicitly."""
-    n_blocks = min(max_hamming + 1, 64)
-    base, extra = divmod(64, n_blocks)
+    GUARANTEED recall: the `bits` signature bits split into
+    `max_hamming + 1` blocks, so by pigeonhole any pair within distance ≤
+    max_hamming agrees exactly on at least one whole block and meets in
+    that block's bucket. The number of blocks is DERIVED from max_hamming
+    (never fewer — a fixed 4-block split only guarantees distance ≤ 3 and
+    silently loses recall beyond). Join is block-local; wider max_hamming
+    ⇒ narrower blocks ⇒ bigger buckets — the standard recall/cost trade,
+    paid explicitly. `bits` < 64 supports shorter signatures (e.g. SRP
+    sketches in embedding_neardup_pairs)."""
+    n_blocks = min(max_hamming + 1, bits)
+    base, extra = divmod(bits, n_blocks)
     bounds = []
     start = 0
     for q in range(n_blocks):
@@ -307,6 +311,52 @@ def simhash_neardup_pairs(sims: DataFrame, max_hamming: int = 8) -> DataFrame:
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    tau: float = 0.95,
+    n_bits: int = 16,
+    max_hamming: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: SRP sketch → pigeonhole-blocked
+    candidate join → exact cosine verify on candidates only.
+
+    A pair at cosine ≥ τ disagrees on each SRP bit with probability
+    θ/π = arccos(τ)/π (Charikar), so its n_bits-sketch Hamming distance
+    concentrates near n_bits·θ/π — candidates are pairs within
+    `max_hamming` sketch bits (block-local join via
+    simhash_neardup_pairs, never all-pairs), then the exact cosine runs
+    only on candidates (JVM-side zip_with/aggregate fold). At 10^10 rows
+    this is the same bucket-join scale shape as the text MinHash path."""
+    from navi_spark.operators.similarity import cosine_expr, srp_signature
+
+    sims = embeddings.select(
+        F.col(id_col).alias("id"),
+        srp_signature(F.col(vec_col), dim, n_bits, seed).alias("simhash"),
+    )
+    cand = simhash_neardup_pairs(sims, max_hamming, bits=n_bits).select(
+        "id_a", "id_b"
+    )
+    ea = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos_sim", cosine_expr(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos_sim") >= tau)
+        .select("id_a", "id_b", "cos_sim")
     )
 
 

@@ -1575,6 +1575,58 @@ def c12_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_embedding_cosine",
+    """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings WHERE vec_id < 300),
+    dups AS (SELECT vec_id + 10000 AS vec_id,
+                    [e[1] * 1.01] || e[2:] AS e FROM base),
+    allv AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+    flat AS (SELECT vec_id, unnest(e) AS v,
+                    unnest(range(len(e))) AS i FROM allv),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM flat
+              GROUP BY vec_id),
+    dots AS (SELECT x.vec_id AS ia, y.vec_id AS ib, SUM(x.v * y.v) AS dot
+             FROM flat x JOIN flat y ON x.i = y.i AND x.vec_id < y.vec_id
+             GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b,
+           ROUND(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots JOIN norms na ON ia = na.vec_id
+              JOIN norms nb ON ib = nb.vec_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, gated END TO END: the synthetic
+    embeddings have no natural near-dups (max pairwise cosine ≈ 0.51), so
+    both sides plant a deterministic 1%-perturbed copy of every vector;
+    the Spark side must find every planted pair via the SRP-sketch
+    blocked join + exact verify (dedup.embedding_neardup_pairs), the
+    oracle computes ALL cosine ≥ 0.99 pairs by brute force — a green row
+    proves the sketch blocking missed no true near-dup."""
+    from navi_spark.operators.dedup import embedding_neardup_pairs
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    e = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    dups = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("e")[0] * 1.01),
+            F.expr("slice(e, 2, size(e) - 1)"),
+        ).alias("e"),
+    )
+    allv = e.unionByName(dups)
+    dim = len(allv.first()["e"])
+    pairs = embedding_neardup_pairs(
+        allv, dim=dim, tau=0.99, n_bits=16, max_hamming=3,
+        id_col="vec_id", vec_col="e",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
+@_q(
     "i1_unindexed_scan",
     """
     SELECT doc_id FROM documents WHERE doc_id % 4 <> 0 AND doc_id >= 100
