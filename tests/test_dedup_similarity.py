@@ -164,3 +164,32 @@ def test_ivf_topk_recall(spark, sf_dir):
     # recall@5 should be substantial (deterministic, seeded quantizer)
     assert 3 in approx
     assert len(set(exact) & set(approx)) >= 2
+
+
+def test_embedding_neardup_finds_planted_pairs(spark, sf_dir):
+    """SRP-sketch blocked near-dup must recover every planted 1%-perturbed
+    copy (cos ≈ 0.99995) and nothing else (natural max pairwise cosine in
+    the synthetic embeddings is ≈ 0.51)."""
+    import pyspark.sql.functions as F
+
+    from navi_spark.operators.dedup import embedding_neardup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 50
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    dups = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(F.array(F.col("e")[0] * 1.01),
+                 F.expr("slice(e, 2, size(e) - 1)")).alias("e"),
+    )
+    allv = e.unionByName(dups)
+    dim = len(allv.first()["e"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            allv, dim=dim, tau=0.99, n_bits=16, max_hamming=3,
+            id_col="vec_id", vec_col="e",
+        ).collect()
+    }
+    want = {(i, i + 10000) for i in range(50)}
+    assert got == want
