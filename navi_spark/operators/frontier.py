@@ -113,6 +113,13 @@ class CrawlConfig:
     use_bloom: bool = True
     validate_payloads: bool = True
     max_waves: int = 10_000
+    # North-rule crawl-delay budget (robots Crawl-delay, which the
+    # reference parses into its rules table but never enforces): when set,
+    # a wave models `wave_seconds` of wall time and a host with
+    # crawl-delay d gets at most max(1, floor(wave_seconds / d)) attempts
+    # per wave — over-quota rows re-queue, i.e. the host is RATE-LIMITED
+    # across waves, never starved. None (default) = reference parity.
+    wave_seconds: float | None = None
     # Parity flag mirroring the ranker's last_term_overwrite: the SHIPPED
     # reference binary wraps every robots rule in Pattern.quote
     # (RobotServer.java:228), so no rule ever matches and nothing is ever
@@ -309,6 +316,27 @@ class CrawlEngine:
             .withColumn("_remaining", F.lit(cap) - F.col("successes"))
             .drop("successes")
         )
+        if cfg.wave_seconds is not None:
+            # crawl-delay budget: the wave models wave_seconds of wall
+            # time; rows beyond the host's per-wave rate re-queue
+            delays = self.rules.filter(F.col("crawl_delay_s") > 0).select(
+                "host", "crawl_delay_s"
+            )
+            quota = F.greatest(
+                F.lit(1),
+                F.floor(F.lit(float(cfg.wave_seconds))
+                        / F.col("crawl_delay_s")),
+            ).cast("int")
+            open_rows = (
+                open_rows.join(F.broadcast(delays), on="host", how="left")
+                .withColumn(
+                    "_remaining",
+                    F.when(F.col("crawl_delay_s").isNotNull(),
+                           F.least(F.col("_remaining"), quota))
+                    .otherwise(F.col("_remaining")),
+                )
+                .drop("crawl_delay_s")
+            )
         # two-level politeness window: a salted (host, salt) top-cap prunes
         # each host to ≤ S·cap rows BEFORE the per-host window, so a hot
         # host never lands in one straggler task

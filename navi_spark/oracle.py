@@ -29,6 +29,9 @@ class OracleConfig:
     max_pages_per_domain: int = 10
     wave_budget: int = 1000
     max_waves: int = 10_000
+    # crawl-delay budget (mirrors CrawlConfig.wave_seconds): a host with
+    # crawl-delay d gets max(1, floor(wave_seconds/d)) attempts per wave
+    wave_seconds: float | None = None
     # shipped-binary parity (RobotServer.java:228 Pattern.quote bug:
     # no rule ever matches → nothing blocked); mirrors CrawlConfig
     robots_reference_bug: bool = False
@@ -50,6 +53,7 @@ def crawl_oracle(
     images: dict[str, tuple[int, str]],          # image_id -> (phash, caption)
     robots: dict[str, list[tuple[str, str]]],    # host -> parsed '*' rules
     cfg: OracleConfig,
+    delays: dict[str, float] | None = None,      # host -> crawl_delay_s
 ) -> OracleResult:
     res = OracleResult()
     # frontier rows: (url, rank, depth); duplicates allowed
@@ -93,6 +97,11 @@ def crawl_oracle(
             remaining = cfg.max_pages_per_domain - res.host_counts.get(host, 0)
             if remaining <= 0:
                 continue  # pop-time discard, no budget
+            if cfg.wave_seconds is not None and delays:
+                d = delays.get(host, 0.0)
+                if d > 0:
+                    remaining = min(remaining,
+                                    max(1, int(cfg.wave_seconds // d)))
             rows.sort(key=lambda t: (t[1], t[0]))
             open_rows.extend(rows)
             sel.extend(rows[:remaining])
@@ -260,6 +269,17 @@ def sequential_crawl_oracle(
 
     res.visit_order = [(p["wave_id"], p["url"]) for p in res.pages]
     return res
+
+
+def oracle_delays(n_hosts: int) -> dict[str, float]:
+    """host -> crawl_delay_s from the same deterministic generator the
+    Spark robots table uses (hosts with delay 0 omitted)."""
+    out = {}
+    for h in range(n_hosts):
+        d = datagen.crawl_delay_for(h)
+        if d > 0:
+            out[datagen.canonical_host(h)] = d
+    return out
 
 
 def build_oracle_inputs(

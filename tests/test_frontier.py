@@ -307,6 +307,42 @@ def test_failure_refund_requeues_same_host(spark):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def test_crawl_delay_budget_parity(spark, universe):
+    """North-rule crawl-delay budget: with wave_seconds=4 a crawl-delay-2
+    host (fixture m=8) gets ≤2 attempts per wave — rate-limited across
+    waves, never starved — and the engine stays bit-equal to the oracle
+    running the same budget."""
+    from navi_spark.oracle import oracle_delays
+
+    workdir = tempfile.mkdtemp(prefix="navi-delay-")
+    try:
+        eng, seeds = _mk_engine(spark, universe, workdir, wave_seconds=4.0)
+        eng.bootstrap(seeds)
+        eng.run(max_waves=30)
+
+        oweb, oimages, orobots = build_oracle_inputs(N_URLS, N_HOSTS)
+        cfg = OracleConfig(max_pages=MAX_PAGES, max_pages_per_domain=CAP,
+                           wave_budget=WAVE, wave_seconds=4.0)
+        ores = crawl_oracle(seeds, oweb, oimages, orobots, cfg,
+                            delays=oracle_delays(N_HOSTS))
+        visit, seen, counts = _engine_state(eng)
+        assert visit == ores.visit_order
+        assert seen == ores.seen
+        assert counts == ores.host_counts
+        # the delayed host is rate-limited per wave (quota = 4s/2s = 2)...
+        per_wave = {}
+        for r in eng.pages().collect():
+            if r["host"] == "host8.test":
+                per_wave[r["wave_id"]] = per_wave.get(r["wave_id"], 0) + 1
+        assert all(v <= 2 for v in per_wave.values())
+        # ...but not starved: it still reaches its domain cap eventually
+        assert counts.get("host8.test", 0) == ores.host_counts.get(
+            "host8.test", 0
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def test_wave_spark_job_count_bounded(spark, universe):
     """Round-1 weak point: each wave fired ~15 Spark jobs, most of them
     per-stage count() stats. The labeled-outcome rewrite derives all stats
