@@ -188,7 +188,7 @@ def main() -> None:
     # min-of-2 rides out the shared-host noise (±2× on identical runs)
     frontier_throughput(spark, 20_000, 50)
     fr = min(
-        (frontier_throughput(spark, N_URLS, N_HOSTS) for _ in range(2)),
+        (frontier_throughput(spark, N_URLS, N_HOSTS) for _ in range(3)),
         key=lambda r: r["wall_sec"],
     )
 
