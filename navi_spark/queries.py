@@ -1077,6 +1077,52 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_seen_filter",
+    """
+    SELECT DISTINCT 'https://' || lower(source) || '.test/d/' || doc_id AS url
+    FROM documents
+    """,
+)
+def stream_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming URL-seen dedup (applyInPandasWithState) driven
+    END TO END across micro-batches: the same documents file is fed TWICE
+    through the file source with maxFilesPerTrigger=1, forcing two
+    micro-batches — every URL arrives again in batch 2 and must be
+    filtered by the GroupState carried over from batch 1. The sink must
+    equal DISTINCT urls (each exactly once)."""
+    import os
+    import tempfile
+    import uuid
+
+    from navi_spark.streaming.wave_stream import streaming_seen_filter
+
+    path = os.path.abspath(f"{sf_dir}/documents.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="navi-seen-src-")
+    os.symlink(path, os.path.join(stream_dir, "a.parquet"))
+    os.symlink(path, os.path.join(stream_dir, "b.parquet"))
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    urls = src.select(
+        F.concat(F.lit("https://"), F.lower("source"), F.lit(".test/d/"),
+                 F.col("doc_id").cast("string")).alias("url")
+    )
+    deduped = streaming_seen_filter(urls, n_partitions=8)
+    name = f"stream_seen_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).select("url").collect()
+    q.stop()
+    return spark.createDataFrame(rows, "url string")
+
+
+@_q(
     "tpch_q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
