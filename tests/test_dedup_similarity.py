@@ -193,3 +193,42 @@ def test_embedding_neardup_finds_planted_pairs(spark, sf_dir):
     }
     want = {(i, i + 10000) for i in range(50)}
     assert got == want
+
+
+def test_simhash_pigeonhole_complete_across_hamming(spark, sf_dir):
+    """Pigeonhole property: for ANY max_hamming, the blocked join must
+    recover every pair the brute-force all-pairs scan finds at that
+    distance (blocks are derived as max_hamming+1, so recall is
+    structural, not probabilistic)."""
+    import pyspark.sql.functions as F
+
+    from navi_spark.operators import dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    sims = dedup.simhash64(d, "doc_id", "text").cache()
+    sims.count()
+    a, b = sims.alias("a"), sims.alias("b")
+    all_pairs = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .cache()
+    )
+    all_pairs.count()
+    for h in (1, 4, 9, 15):
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in all_pairs.filter(F.col("hamming") <= h).collect()
+        }
+        blocked = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_neardup_pairs(sims, max_hamming=h).collect()
+        }
+        assert blocked == brute, f"max_hamming={h}"
+    sims.unpersist(), all_pairs.unpersist()

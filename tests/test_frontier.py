@@ -439,3 +439,38 @@ def test_resume_after_torn_first_commit(spark, universe, oracle_result):
         assert counts == oracle_result.host_counts
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_parity_larger_universe(spark):
+    """Bit-exactness at 3× the standard test universe (1000 urls, 30
+    hosts, deeper budget) — guards against parity bugs that only appear
+    with more hosts per partition, more frontier duplicates, and more
+    waves."""
+    n_urls, n_hosts = 1000, 30
+    web = generate_web(spark, n_urls, n_hosts).cache()
+    images = generate_images(spark, n_urls).cache()
+    robots = generate_robots(spark, n_hosts)
+    seeds = generate_seeds(8, n_urls, n_hosts)
+    web.count(), images.count()
+    workdir = tempfile.mkdtemp(prefix="navi-big-")
+    try:
+        cfg = CrawlConfig(
+            max_pages=60, max_pages_per_domain=4, wave_budget=25,
+            n_host_partitions=8, salt_buckets=4,
+        )
+        eng = CrawlEngine(spark, workdir, web, images, robots, cfg)
+        eng.bootstrap(seeds)
+        eng.run(max_waves=40)
+
+        oweb, oimages, orobots = build_oracle_inputs(n_urls, n_hosts)
+        ocfg = OracleConfig(max_pages=60, max_pages_per_domain=4,
+                            wave_budget=25)
+        ores = crawl_oracle(seeds, oweb, oimages, orobots, ocfg)
+        visit, seen, counts = _engine_state(eng)
+        assert visit == ores.visit_order
+        assert seen == ores.seen
+        assert counts == ores.host_counts
+        assert eng.budget_consumed == ores.budget_consumed
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        web.unpersist(), images.unpersist()
