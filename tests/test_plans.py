@@ -115,3 +115,15 @@ def test_ngram_jaccard_candidate_path_no_shingle_selfjoin(spark):
         (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in out.collect()
     }
     assert got == want
+
+
+def test_neardup_pipelines_no_cartesian(spark, sf_dir):
+    """The round-2 near-dup gates must keep their bucket-join shape: no
+    cartesian/nested-loop joins anywhere in the minhash→verify or
+    SRP-sketch embedding pipelines."""
+    from navi_spark import queries as qmod
+
+    reg = qmod.queries()
+    for name in ("dedup_minhash_lsh", "dedup_embedding_cosine"):
+        df = reg[name](spark, sf_dir)
+        assert_no_cartesian(df)
