@@ -54,13 +54,21 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _SHIPPED:
         return
-    staging = tempfile.mkdtemp(prefix="navi-pkg-")
+    # stable per-user staging dir: the content-hashed filename then actually
+    # deduplicates rebuilds across SparkContexts/processes (a fresh mkdtemp
+    # per call made the exists() check dead code and leaked temp dirs)
+    staging = os.path.join(
+        tempfile.gettempdir(), f"navi-pkg-{os.getuid()}"
+    )
+    os.makedirs(staging, exist_ok=True)
     zip_base = os.path.join(staging, f"navi_spark_{_pkg_content_hash()}")
     zip_path = zip_base + ".zip"
     if not os.path.exists(zip_path):
-        shutil.make_archive(
-            zip_base, "zip", root_dir=_REPO, base_dir="navi_spark"
+        tmp = shutil.make_archive(
+            zip_base + f".tmp-{os.getpid()}", "zip",
+            root_dir=_REPO, base_dir="navi_spark",
         )
+        os.replace(tmp, zip_path)  # atomic: concurrent users never collide
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED.add(key)
 

@@ -283,15 +283,21 @@ def simhash_neardup_pairs(
         width = base + (1 if q < extra else 0)
         bounds.append((q, start, width))
         start += width
+    def _block_key(s: int, w: int):
+        # a 64-bit-wide block's mask (1<<64)-1 overflows LongType; the full
+        # word needs no mask at all (single-block case, max_hamming == 0)
+        if w >= 64:
+            return F.col("simhash")
+        return (
+            F.shiftrightunsigned(F.col("simhash"), s)
+            .bitwiseAND(F.lit((1 << w) - 1))
+        )
+
     blocks = sims.select(
         "id", "simhash",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(q).alias("q"),
-                    F.shiftrightunsigned(F.col("simhash"), s)
-                    .bitwiseAND(F.lit((1 << w) - 1)).alias("key"),
-                )
+                F.struct(F.lit(q).alias("q"), _block_key(s, w).alias("key"))
                 for q, s, w in bounds
             ])
         ).alias("bb"),

@@ -112,9 +112,14 @@ def payload_last_modified(phash_col: str = "phash") -> Column:
     version (WebCrawler.java:185-187, 225-227)."""
     epoch = F.lit(1_500_000_000) + F.pmod(F.xxhash64(F.col(phash_col)),
                                           F.lit(300_000_000))
-    return F.date_format(
-        F.timestamp_seconds(epoch), "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
+    # date_format renders in spark.sql.session.timeZone; shift the instant
+    # by the session offset so the rendered wall clock is the UTC one the
+    # 'GMT' label claims, independent of session timezone. (Spark formats
+    # EEE/MMM with Locale.US, so the names are locale-stable.)
+    utc_wall = F.to_utc_timestamp(
+        F.timestamp_seconds(epoch), F.expr("current_timezone()")
     )
+    return F.date_format(utc_wall, "EEE, dd MMM yyyy HH:mm:ss 'GMT'")
 
 
 def classify_recrawl(

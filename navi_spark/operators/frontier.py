@@ -141,6 +141,29 @@ class WaveStats:
     wall_ms: int = 0
 
 
+def politeness_open_rows(new: DataFrame, counts: DataFrame, cap: int) -> DataFrame:
+    """C8 pop-time domain quota: drop rows of AT-CAP hosts, annotate the
+    rest with `_remaining = cap - successes`.
+
+    Scale contract (the one the plan test pins): `counts` has one row per
+    host that ever fetched a page — unbounded at the 10^10-URL design point
+    — so the FULL relation is never broadcast. Only the at-cap host list
+    (bounded by fetched-pages/cap) gets the explicit broadcast hint, for
+    the discard anti-join; the under-cap `_remaining` counts come from a
+    plain shuffled join (AQE broadcasts it at runtime while it is small)."""
+    at_cap_hosts = counts.filter(F.col("successes") >= cap).select("host")
+    partial = counts.filter(
+        (F.col("successes") > 0) & (F.col("successes") < cap)
+    )
+    return (
+        new.join(F.broadcast(at_cap_hosts), on="host", how="left_anti")
+        .join(partial, on="host", how="left")
+        .fillna({"successes": 0})
+        .withColumn("_remaining", F.lit(cap) - F.col("successes"))
+        .drop("successes")
+    )
+
+
 class CrawlEngine:
     """One crawl run rooted at `workdir`; all state in snapshot tables."""
 
@@ -279,43 +302,50 @@ class CrawlEngine:
             self._commit_done()
             return stats
 
-        # ---- 2. URL-seen check (C9): bloom pre-filter + exact anti-join.
-        # Pop-time visited refund (WebCrawler.java:446) done eagerly: a seen
-        # row can never produce a page, so removing it before the pop is
-        # outcome-equivalent and costs no budget either way.
+        # ---- 2. depth split FIRST (C6): the reference checks depth before
+        # the visited check (crawl() WebCrawler.java:364 vs :446), so a
+        # too-deep pop consumes a budget unit EVEN IF the url is already
+        # seen. Deep rows therefore bypass the seen anti-join entirely and
+        # go straight to the attempt pool (where they get the depth_skip
+        # outcome and charge budget).
+        deep = cand.filter(F.col("depth") > cfg.max_depth)
+        shallow = cand.filter(F.col("depth") <= cfg.max_depth)
+
+        # ---- 2b. URL-seen check (C9) on shallow rows: bloom pre-filter +
+        # exact anti-join. Pop-time visited refund (WebCrawler.java:446)
+        # done eagerly: a seen shallow row can never produce a page, so
+        # removing it before the pop is outcome-equivalent and costs no
+        # budget either way.
         seen = self.t["seen"].read_or_empty(SEEN_SCHEMA)
         if cfg.use_bloom and self.t["filters"].exists():
             flt = self.t["filters"].read()
-            marked = bloom.annotate_maybe_seen(cand, flt, cfg.bloom_hashes)
+            marked = bloom.annotate_maybe_seen(shallow, flt, cfg.bloom_hashes)
             definite_new = marked.filter(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = marked.filter(F.col("maybe_seen")).drop("maybe_seen")
             new = definite_new.unionByName(
                 maybe.join(seen.select("url"), on="url", how="left_anti")
             )
         else:
-            new = cand.join(seen.select("url"), on="url", how="left_anti")
+            new = shallow.join(seen.select("url"), on="url", how="left_anti")
         new = new.cache()
 
-        # ---- 3. pop-time split (C6/C8). Deep rows bypass the domain quota
-        # (crawl() checks depth BEFORE processUrl's domain check,
-        # WebCrawler.java:364 vs :440) and compete for the wave budget.
-        # Shallow rows of an AT-CAP host are discarded (pop-time discard —
-        # eager is sound, at-cap is permanent). An OPEN host's first
-        # `cap - successes` rows by (rank, url) are claimable this wave; the
-        # REST RE-QUEUE (never dropped: if a claimed attempt fails, the
-        # queued row gets its attempt in a later wave, exactly as the
-        # reference attempts it at its pop after the failure's refund).
+        # ---- 3. pop-time domain quota (C8). Shallow rows of an AT-CAP host
+        # are discarded (pop-time discard — eager is sound, at-cap is
+        # permanent). An OPEN host's first `cap - successes` rows by
+        # (rank, url) are claimable this wave; the REST RE-QUEUE (never
+        # dropped: if a claimed attempt fails, the queued row gets its
+        # attempt in a later wave, exactly as the reference attempts it at
+        # its pop after the failure's refund).
+        #
+        # Scale note: `host_counts` has one row per host that EVER fetched —
+        # unbounded at the 10^10-URL design point, so it must never be
+        # broadcast wholesale. Only the AT-CAP host list (bounded by
+        # fetched-pages/cap) is broadcast, for the discard anti-join; the
+        # under-cap `_remaining` counts come from a plain shuffled join
+        # (AQE broadcasts it at runtime while it is actually small).
         counts = self.t["host_counts"].read_or_empty(HOST_COUNTS_SCHEMA)
         cap = cfg.max_pages_per_domain
-        deep = new.filter(F.col("depth") > cfg.max_depth)
-        open_rows = (
-            new.filter(F.col("depth") <= cfg.max_depth)
-            .join(F.broadcast(counts), on="host", how="left")
-            .fillna({"successes": 0})
-            .filter(F.col("successes") < cap)
-            .withColumn("_remaining", F.lit(cap) - F.col("successes"))
-            .drop("successes")
-        )
+        open_rows = politeness_open_rows(new, counts, cap)
         if cfg.wave_seconds is not None:
             # crawl-delay budget: the wave models wave_seconds of wall
             # time; rows beyond the host's per-wave rate re-queue
@@ -510,7 +540,7 @@ class CrawlEngine:
         # ---- 11. lineage + metrics (north rule): one aggregation over the
         # labeled table + per-partition scheduled/deduped; collected once
         # (≤ n_host_partitions·salt_buckets rows) and reused for wave stats
-        lin_rows = self._lineage_rows(w, cand, new, labeled)
+        lin_rows = self._lineage_rows(w, cand, new.unionByName(deep), labeled)
         stats.scheduled = sum(r["scheduled"] for r in lin_rows)
         stats.deduped = sum(r["deduped"] for r in lin_rows)
         stats.attempted = sum(r["attempted"] for r in lin_rows)
@@ -545,11 +575,12 @@ class CrawlEngine:
         new.unpersist()
         return stats
 
-    def _lineage_rows(self, w, cand, new, labeled) -> list:
+    def _lineage_rows(self, w, cand, poppable, labeled) -> list:
         """Per-host_partition lineage with REAL per-cause counts, all from
-        one aggregation of the labeled attempts table. `blocked_budget` =
-        deduped rows not popped for an attempt this wave (re-queued or
-        at-cap-discarded)."""
+        one aggregation of the labeled attempts table. `poppable` = rows
+        surviving dedup + the seen check (deep rows included — they bypass
+        the seen check); `blocked_budget` = poppable rows not popped for an
+        attempt this wave (re-queued or at-cap-discarded)."""
         def per_hp(df, name):
             return df.groupBy("host_partition").agg(F.count("*").alias(name))
 
@@ -565,7 +596,7 @@ class CrawlEngine:
         )
         lin = (
             per_hp(cand, "scheduled")
-            .join(per_hp(new, "deduped"), "host_partition", "full")
+            .join(per_hp(poppable, "deduped"), "host_partition", "full")
             .join(att_agg, "host_partition", "full")
             .fillna(0)
             .select(

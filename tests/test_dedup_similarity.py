@@ -232,3 +232,21 @@ def test_simhash_pigeonhole_complete_across_hamming(spark, sf_dir):
         }
         assert blocked == brute, f"max_hamming={h}"
     sims.unpersist(), all_pairs.unpersist()
+
+
+def test_simhash_single_block_max_hamming_zero(spark):
+    """max_hamming=0 → a single 64-bit block; the (1<<64)-1 mask overflows
+    LongType, so the block key must be the raw simhash (ADVICE r2). Pairs
+    found must be exactly the equal-simhash pairs."""
+    from navi_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "totally different words here"), (4, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    sims = dedup.simhash64(docs, "doc_id", "text")
+    pairs = dedup.simhash_neardup_pairs(sims, max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 4), (2, 4)}
+    assert all(r["hamming"] == 0 for r in pairs.collect())

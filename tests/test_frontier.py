@@ -12,6 +12,7 @@ import shutil
 import tempfile
 
 import pytest
+import pyspark.sql.functions as F
 
 from navi_spark.operators.frontier import CrawlConfig, CrawlEngine
 from navi_spark.oracle import (
@@ -474,3 +475,47 @@ def test_parity_larger_universe(spark):
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         web.unpersist(), images.unpersist()
+
+
+def test_deep_seen_row_still_consumes_budget(spark, universe):
+    """The reference charges budget for a too-deep pop even when the URL is
+    already visited (crawl() depth check :364 precedes the visited refund
+    :446). Reachable when a crawl resumes with a reduced max_depth or a
+    deep-seeded frontier — the deep row must bypass the seen anti-join and
+    burn one budget unit as a depth_skip, storing nothing."""
+    from navi_spark.functions.urlnorm import host_expr
+
+    web, images, robots, _seeds = universe
+    workdir = tempfile.mkdtemp(prefix="navi-deepseen-")
+    try:
+        cfg = CrawlConfig(
+            max_pages=10, max_pages_per_domain=3, wave_budget=5,
+            n_host_partitions=4, salt_buckets=2, max_depth=0,
+        )
+        eng = CrawlEngine(spark, workdir, web, images, robots, cfg)
+        seed_url = web.select("url").orderBy("url").first()["url"]
+        eng.bootstrap([seed_url])
+        eng.run(max_waves=2)
+        assert eng.budget_consumed >= 1
+        seen_urls = {r["url"] for r in eng.seen().collect()}
+        assert seed_url in seen_urls
+        budget_before = eng.budget_consumed
+        pages_before = eng.pages().count()
+
+        # deep-seed the frontier with an ALREADY-SEEN url at depth 5
+        eng.t["frontier"].overwrite(
+            spark.createDataFrame(
+                [(seed_url, 0.5, 5)], "url string, rank double, depth int"
+            ).select(
+                "url", "rank", "depth",
+                host_expr(F.col("url")).alias("host"),
+                F.xxhash64("url").alias("url_hash"),
+            ),
+            {"op": "test-deep-seed"},
+        )
+        stats = eng.wave()
+        assert stats.depth_skips == 1
+        assert eng.budget_consumed == budget_before + 1  # charged, not refunded
+        assert eng.pages().count() == pages_before       # nothing stored
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

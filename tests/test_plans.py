@@ -127,3 +127,46 @@ def test_neardup_pipelines_no_cartesian(spark, sf_dir):
     for name in ("dedup_minhash_lsh", "dedup_embedding_cosine"):
         df = reg[name](spark, sf_dir)
         assert_no_cartesian(df)
+
+
+def test_politeness_never_broadcasts_full_host_counts(spark):
+    """`host_counts` has one row per host that ever fetched — unbounded at
+    the 10^10-URL design point. The politeness join must broadcast ONLY the
+    bounded at-cap host list (the anti-join side); the under-cap
+    `_remaining` counts join stays a shuffled join (AQE may promote it at
+    runtime while small, but the static plan must not pin a broadcast)."""
+    from navi_spark.operators.frontier import politeness_open_rows
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        host = F.concat(F.lit("h"), (F.col("id") % 50).cast("string"))
+        new = spark.range(1000).select(
+            F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("id"))
+            .alias("url"),
+            host.alias("host"),
+            F.lit(1.0).alias("rank"),
+            F.lit(0).alias("depth"),
+        )
+        counts = spark.range(50).select(
+            F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+            (F.col("id") % 7).cast("long").alias("successes"),
+        )
+        out = politeness_open_rows(new, counts, cap=5)
+        plan = explain_str(out, "simple")
+        # exactly one broadcast: the explicit hint on the at-cap host list
+        n_bcast = plan.count("BroadcastHashJoin") + plan.count(
+            "BroadcastNestedLoopJoin"
+        )
+        assert n_bcast == 1, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # and the semantics: at-cap hosts dropped, remaining annotated
+        rows = out.collect()
+        assert all(1 <= r["_remaining"] <= 5 for r in rows)
+        hosts_kept = {r["host"] for r in rows}
+        # hosts h5, h12, ... have successes in {5,6} >= cap → dropped
+        assert not any(
+            int(h[1:]) % 7 >= 5 for h in hosts_kept
+        ), sorted(hosts_kept)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
