@@ -16,6 +16,7 @@ it for parity experiments; the default sums over terms (the fix the survey
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Sequence
 
 import pyspark.sql.functions as F
@@ -133,10 +134,122 @@ def phrase_regex(words: Sequence[str]) -> str:
     return r"\b" + r"\s+".join(_re.escape(w) for w in words) + r"\b"
 
 
+def phrase_prune_index(
+    pages: DataFrame, id_col: str, text_cols: Sequence[str]
+) -> DataFrame:
+    """Distinct (doc_id, word) under split-on-non-letter tokenization of
+    lower(text) — the prebuilt index that makes phrase search scale.
+
+    Soundness (why this prune never loses a regex match): a phrase regex
+    word `w` ∈ [a-z]+ matches in raw text only where it is flanked by \\b,
+    i.e. by non-[A-Za-z0-9_] characters or string edges (Spark rlike is
+    ASCII-\\w Java regex). Every such flanking character is a non-letter,
+    hence a split delimiter here, so the occurrence survives verbatim as a
+    token of split(lower(text), '[^a-z]+'). NOTE the indexer's posting
+    tokenizer (indexer.tokenize_field) is NOT sound for this: it strips
+    punctuation instead of splitting on it, gluing 'x-hash' → 'xhash',
+    which would drop a doc the regex matches."""
+    streams = [
+        pages.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(c)), "[^a-z]+")).alias("word"),
+        ).filter(F.col("word") != "")
+        for c in text_cols
+    ]
+    toks = streams[0]
+    for s in streams[1:]:
+        toks = toks.unionByName(s)
+    return toks.distinct()
+
+
+def phrase_prunable_words(words: Sequence[str]) -> list[str]:
+    """Phrase words the index can prune on: pure lowercase-letter words
+    (anything else — digits, apostrophes, unicode — is skipped; skipping
+    only weakens the prune, never its soundness)."""
+    import re as _re
+
+    return [w for w in words if _re.fullmatch(r"[a-z]+", w)]
+
+
+@dataclass
+class PhraseIndex:
+    """Prebuilt phrase-prune structures: the (doc_id, word) pairs plus a
+    tiny per-word document-frequency table. Both cached by the builder; at
+    cluster scale both would be bucketed by `word` so the per-query
+    lookups are partition-pruned point reads."""
+
+    pairs: DataFrame    # distinct (doc_id, word)
+    word_df: DataFrame  # (word, df)
+
+
+def build_phrase_index(
+    pages: DataFrame, id_col: str, text_cols: Sequence[str]
+) -> PhraseIndex:
+    pairs = phrase_prune_index(pages, id_col, text_cols).cache()
+    word_df = pairs.groupBy("word").agg(F.count("*").alias("df")).cache()
+    return PhraseIndex(pairs, word_df)
+
+
+def phrase_prune(
+    pages: DataFrame,
+    index: PhraseIndex,
+    words: Sequence[str],
+    id_col: str = "url",
+    max_ids_for_pushdown: int = 10_000,
+    n_docs: int | None = None,
+    max_frac: float = 0.1,
+) -> DataFrame:
+    """Restrict `pages` to docs containing the RAREST prunable phrase word
+    — a guaranteed superset of the regex matches (every match contains all
+    phrase words), decided and fetched with two narrow lookups instead of
+    any scan of the fat text columns.
+
+    Per query: (1) probe the tiny word_df table for the phrase words'
+    document frequencies; a word absent from the index appears in no doc
+    (the index tokenization provably covers every \\b-match — see
+    phrase_prune_index), so the phrase matches nothing. (2) Since every
+    match contains the rarest word, candidates ≤ min(df). If that bound is
+    selective (≤ max_ids_for_pushdown and ≤ max_frac·n_docs when known),
+    fetch the rarest word's doc ids — a plain filter on the pairs table,
+    no shuffle — and push them as a literal IN filter on the pages scan:
+    parquet row-group skipping, regex only on rows passing the set probe.
+
+    A DENSE phrase (min df above the cutoff) returns `pages` unchanged:
+    the full regex scan the reference always pays (DBManager.java:755-780)
+    is then genuinely the best plan — a semi-join middle path never wins,
+    because Catalyst pushes the (deterministic) regex predicate below the
+    join anyway, so the join adds a shuffle without saving any regex
+    evaluation or scan bytes."""
+    ws = phrase_prunable_words(words)
+    if not ws:
+        return pages
+    cutoff = max_ids_for_pushdown
+    if n_docs is not None:
+        cutoff = min(cutoff, max(1, int(max_frac * n_docs)))
+    dfs = {
+        r["word"]: r["df"]
+        for r in index.word_df.filter(F.col("word").isin(*ws)).collect()
+    }
+    if any(w not in dfs for w in ws):
+        return pages.filter(F.lit(False))  # some word occurs in no doc
+    rarest = min(ws, key=lambda w: dfs[w])
+    if dfs[rarest] > cutoff:
+        return pages  # dense phrase: the full scan is the right plan
+    ids = [
+        r["doc_id"]
+        for r in index.pairs.filter(F.col("word") == rarest)
+        .select("doc_id").collect()
+    ]
+    return pages.filter(F.col(id_col).isin(ids))
+
+
 def phrase_candidates(
     pages: DataFrame, rx: str, text_cols: Sequence[str]
 ) -> DataFrame:
-    """R10: regex OR-scan over the text fields (DBManager.java:755-780)."""
+    """R10: regex OR-scan over the text fields (DBManager.java:755-780).
+    Callers with a prebuilt phrase_prune_index should pass
+    `phrase_prune(pages, index, words)` as `pages` — the scan then reads
+    only candidate docs instead of the whole corpus."""
     cond = None
     for c in text_cols:
         p = F.col(c).rlike(rx)

@@ -42,11 +42,35 @@ def search(
     k: int = 10,
     stopwords: frozenset[str] = frozenset(),
     snippet_field: str | None = None,
+    phrase_index: "ranker.PhraseIndex | None" = None,
+    suggestions=None,
 ) -> list[SearchResult]:
+    """`phrase_index`: optional prebuilt ranker.build_phrase_index over the
+    same pages/fields — phrase and boolean queries then regex-scan only the
+    docs containing the rarest phrase word instead of the whole corpus (the
+    reference always pays the full Mongo collection scan)."""
     parsed = parse_query(query, stopwords=set(stopwords))
     if parsed.kind == "invalid":
         return []
+    if suggestions is not None:
+        # the reference records every successfully-parsed query as a
+        # suggestion, with an exact-duplicate check (QueryEngine.java:81,
+        # DBManager.java:680-703 insertSuggestion) — here one MERGE keyed
+        # on the raw query text
+        spark = pages.sparkSession
+        suggestions.merge_upsert(
+            spark.createDataFrame([(query,)], "suggestion string"),
+            "suggestion",
+            {"op": "search-side-effect"},
+        )
     fields = list(field_cols.keys())
+
+    def pruned(phrase: list[str]) -> DataFrame:
+        if phrase_index is None:
+            return pages
+        return ranker.phrase_prune(
+            pages, phrase_index, phrase, id_col="url", n_docs=n_docs
+        )
 
     if parsed.kind == "terms":
         relevance = ranker.bm25f(
@@ -54,17 +78,17 @@ def search(
         )
     elif parsed.kind == "phrase":
         rx = ranker.phrase_regex(parsed.phrases[0])
-        relevance = ranker.phrase_scores(pages, rx, field_cols).withColumnRenamed(
-            "phrase_score", "relevance"
-        )
+        relevance = ranker.phrase_scores(
+            pruned(parsed.phrases[0]), rx, field_cols
+        ).withColumnRenamed("phrase_score", "relevance")
     else:  # boolean
         universe = pages.select(F.col("url").alias("doc_id"))
         scored: list[DataFrame] = []
         for i, phrase in enumerate(parsed.phrases):
             rx = ranker.phrase_regex(phrase)
-            s = ranker.phrase_scores(pages, rx, field_cols).withColumnRenamed(
-                "phrase_score", "score"
-            )
+            s = ranker.phrase_scores(
+                pruned(phrase), rx, field_cols
+            ).withColumnRenamed("phrase_score", "score")
             # leading NOT-semantics: reference treats `NOT x` via set minus
             # during combine; unary not handled by boolean_combine
             scored.append(s)

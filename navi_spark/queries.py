@@ -768,9 +768,16 @@ _PHRASE = r"\bkey\s+agg\b"
     f"SELECT doc_id FROM documents WHERE regexp_matches(text, '{_PHRASE}')",
 )
 def r10_phrase_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R10: phrase regex candidate scan (DBManager.java:755-780)."""
+    """R10: phrase regex candidate scan (DBManager.java:755-780) — via the
+    postings-pruned path: the prune index restricts the regex to docs
+    containing every phrase word (a proven superset of the matches), so
+    this gate certifies prune+scan ≡ the oracle's full-corpus scan."""
+    from navi_spark.operators.ranker import build_phrase_index, phrase_prune
+
     d = load(spark, sf_dir, "documents")
-    return d.filter(F.col("text").rlike(_PHRASE)).select("doc_id")
+    idx = build_phrase_index(d, "doc_id", ["text"])
+    cand = phrase_prune(d, idx, ["key", "agg"], id_col="doc_id")
+    return cand.filter(F.col("text").rlike(_PHRASE)).select("doc_id")
 
 
 @_q(
@@ -783,10 +790,16 @@ def r10_phrase_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def r11_phrase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R11: phrase frequency / field length (Ranker.java:324-407)."""
+    """R11: phrase frequency / field length (Ranker.java:324-407), scoring
+    only the prune-index candidates (same result as the oracle's full
+    scan — the prune is a superset of the matches)."""
+    from navi_spark.operators.ranker import build_phrase_index, phrase_prune
+
     d = load(spark, sf_dir, "documents")
+    idx = build_phrase_index(d, "doc_id", ["text"])
+    cand = phrase_prune(d, idx, ["key", "agg"], id_col="doc_id")
     return (
-        d.filter(F.col("text").rlike(_PHRASE))
+        cand.filter(F.col("text").rlike(_PHRASE))
         .select(
             "doc_id",
             F.round(
