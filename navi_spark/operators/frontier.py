@@ -629,6 +629,162 @@ class CrawlEngine:
                 break
         return out
 
+    def recrawl(
+        self,
+        web: DataFrame | None = None,
+        images: DataFrame | None = None,
+        max_pages: int | None = None,
+        pagerank_iterations: int = 10,
+    ) -> dict:
+        """C21 composed freshness pass (WebCrawler.java:536-650 recrawl /
+        recrawlThread / recrawlUrl): reload pages rank-DESC → fresh
+        per-host domain cap → robots → conditional GET against the
+        (possibly drifted) live web → classify touched/unchanged/changed →
+        MERGE changed pages → recompute PageRank into pages.rank iff any
+        consumed page's link structure changed (:571-580).
+
+        Distributed form: only rows that CONSUME budget (status unchanged/
+        changed past robots, :705-745) need sequencing — refunded rows
+        (304-touched :697, fetch-fail :680-699, robots :670-674, over-cap
+        :663-668) have no table effect here (no lastTime column), so the
+        pop order collapses to a per-host rank-desc row_number ≤ cap then
+        a global TakeOrdered prefix of `max_pages` — the wave's two-level
+        politeness + budget shape.
+
+        Divergence noted: the reference counts linkStructureChanged over a
+        crawledUrls buffer CLEARED at each batch flush (:621-624), so its
+        PageRank trigger depends on flush timing; we use the intent — any
+        consumed changed page with a link change triggers the recompute.
+        """
+        from navi_spark.operators.pagerank import pagerank
+
+        if web is not None:
+            self.web = web
+        if images is not None:
+            self.images = images
+        cfg = self.cfg
+        budget = max_pages if max_pages is not None else cfg.max_pages
+        cap = cfg.max_pages_per_domain
+        old = self.pages()
+
+        re_f = (
+            old.select(
+                "url", "depth", "rank", "host", "wave_id",
+                F.col("phash").alias("old_phash"),
+                F.col("caption").alias("old_caption"),
+                F.col("children").alias("old_children"),
+            )
+            .join(
+                self.web.select(
+                    "url",
+                    F.col("image_id").alias("new_image_id"),
+                    F.col("children").alias("new_children_raw"),
+                ),
+                "url", "left",
+            )
+            .join(
+                self.images.select(
+                    F.col("image_id").alias("new_image_id"),
+                    F.col("phash").alias("new_phash"),
+                    F.col("caption").alias("new_caption"),
+                ),
+                "new_image_id", "left",
+            )
+        )
+        if cfg.robots_reference_bug:
+            re_f = re_f.withColumn("robots_allowed", F.lit(True))
+        else:
+            re_f = filter_allowed(re_f, self.rules).drop("crawl_delay_s")
+        # synthetic-server validator support (datagen.host_supports_validators)
+        honors_304 = F.coalesce(
+            F.regexp_extract("host", r"^host(\d+)\.test$", 1).cast("int")
+            % 4 != 1,
+            F.lit(True),
+        )
+        fetch_ok = F.col("new_phash").isNotNull()
+        same_payload = (
+            (F.col("new_phash") == F.col("old_phash"))
+            & (F.col("new_caption") == F.col("old_caption"))
+        )
+        status = (
+            F.when(~F.col("robots_allowed"), "blocked_robots")
+            .when(~fetch_ok, "touched")                  # doc == null (:680)
+            .when(honors_304 & same_payload, "touched")  # 304 (:697)
+            .when(F.col("new_phash") == F.col("old_phash"), "unchanged")
+            .otherwise(F.lit("changed"))
+        )
+        lab = re_f.withColumn("status", status).localCheckpoint(eager=True)
+
+        consuming = lab.filter(F.col("status").isin("unchanged", "changed"))
+        wcap = Window.partitionBy("host").orderBy(F.desc("rank"), "url")
+        capped = (
+            consuming.withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= cap).drop("_rn")
+        )
+        consumed = (
+            capped.orderBy(F.desc("rank"), "url").limit(budget)
+            .localCheckpoint(eager=True)
+        )
+        changed = consumed.filter(F.col("status") == "changed").withColumn(
+            "children",
+            F.when(
+                F.col("depth") < cfg.max_depth,
+                normalize_children(F.col("new_children_raw")),
+            ).otherwise(F.array().cast("array<string>")),
+        ).withColumn(
+            "link_structure_changed",
+            ~(F.col("children") == F.col("old_children")),
+        ).localCheckpoint(eager=True)
+
+        merge_src = changed.select(
+            "url",
+            F.col("new_image_id").alias("image_id"),
+            F.col("new_phash").alias("phash"),
+            F.col("new_caption").alias("caption"),
+            "depth", "rank", "host", "wave_id", "children",
+            payload_etag("new_phash", "new_caption").alias("etag"),
+            payload_last_modified("new_phash").alias("last_modified"),
+        )
+        self.t["pages"].merge_upsert(merge_src, "url", {"op": "recrawl"})
+
+        n_struct = changed.filter(F.col("link_structure_changed")).count()
+        if n_struct > 0:
+            # :571-580 — calculatePageRank writes into the docs' rank field
+            pr = pagerank(self.pages(), pagerank_iterations)
+            repaged = (
+                self.pages().drop("rank")
+                .join(pr, "url", "left").fillna({"rank": 0.0})
+                .select(*[c.strip().split(" ")[0]
+                          for c in PAGES_SCHEMA.split(",")])
+            )
+            self.t["pages"].overwrite(
+                repaged.localCheckpoint(eager=True), {"op": "recrawl-rank"}
+            )
+
+        status_counts = {
+            r["status"]: r["n"]
+            for r in lab.groupBy("status").agg(F.count("*").alias("n"))
+            .collect()
+        }
+        stats = {
+            "reloaded": old.count(),
+            "consumed": consumed.count(),
+            "changed": changed.count(),
+            "link_structure_changed": n_struct,
+            "pagerank_recomputed": n_struct > 0,
+            "statuses": status_counts,
+        }
+        # state commit = the checkpoint barrier (same machinery as wave():
+        # a crash between the MERGE and here rolls pages back on resume)
+        self.t["state"].overwrite(
+            self.spark.createDataFrame(
+                [(self.wave_id, self.budget_consumed, False,
+                  self._snapshot_map())], STATE_SCHEMA
+            ),
+            {"op": "recrawl"},
+        )
+        return stats
+
     # -- outputs ---------------------------------------------------------------
     def pages(self) -> DataFrame:
         return self.t["pages"].read_or_empty(PAGES_SCHEMA)

@@ -79,18 +79,20 @@ def crawl_oracle(
                 best[url] = (rank, depth)
         cand = [(u, r, d) for u, (r, d) in best.items()]
 
-        # 2. seen check (pop-time visited refund, done eagerly)
-        new = [(u, r, d) for u, r, d in cand if u not in res.seen]
+        # 2. depth split FIRST: deep rows bypass the seen check entirely
+        #    (the reference's depth check precedes the visited refund, so a
+        #    deep pop consumes budget even when already seen), then the
+        #    seen check (pop-time visited refund, done eagerly) on shallow
+        deep = [(u, r, d) for u, r, d in cand if d > cfg.max_depth]
+        new = [(u, r, d) for u, r, d in cand
+               if d <= cfg.max_depth and u not in res.seen]
 
-        # 3. pop-time split: deep rows bypass the domain quota (depth check
-        #    precedes the domain check in the reference); shallow rows of an
-        #    AT-CAP host are discarded; an OPEN host's first `remaining`
-        #    rows by (rank, url) are claimable, the rest RE-QUEUE
-        deep = [(u, r, d) for u, r, d in new if d > cfg.max_depth]
+        # 3. pop-time domain split: shallow rows of an AT-CAP host are
+        #    discarded; an OPEN host's first `remaining` rows by (rank,
+        #    url) are claimable, the rest RE-QUEUE
         by_host: dict[str, list[tuple[str, float, int]]] = {}
         for u, r, d in new:
-            if d <= cfg.max_depth:
-                by_host.setdefault(host_of_py(u), []).append((u, r, d))
+            by_host.setdefault(host_of_py(u), []).append((u, r, d))
         sel: list[tuple[str, float, int]] = []
         open_rows: list[tuple[str, float, int]] = []
         for host, rows in by_host.items():
@@ -283,21 +285,17 @@ def oracle_delays(n_hosts: int) -> dict[str, float]:
 
 
 def build_oracle_inputs(
-    n_urls: int, n_hosts: int, n_images: int | None = None
+    n_urls: int, n_hosts: int, n_images: int | None = None, version: int = 0
 ) -> tuple[dict, dict, dict]:
     """(web, images, robots) dicts from the same deterministic generators the
-    Spark tables come from — NO Spark required."""
+    Spark tables come from — NO Spark required. `version` selects the
+    drifted web snapshot a recrawl sees (datagen.web_image_id/web_children)."""
     n_images = n_images if n_images is not None else n_urls
     web = {}
     for i in range(n_urls):
-        image_id = (
-            f"imgmissing{i:07d}"
-            if datagen.fetch_fails(i)
-            else f"img{i % n_images:010d}"
-        )
         web[datagen.canonical_url(i, n_hosts)] = (
-            image_id,
-            datagen.children_dirty(i, n_urls, n_hosts),
+            datagen.web_image_id(i, n_images, version),
+            datagen.web_children(i, n_urls, n_hosts, version),
         )
     images = {}
     for i in range(n_images):
@@ -309,3 +307,90 @@ def build_oracle_inputs(
         if txt is not None:
             robots[datagen.canonical_host(h)] = parse_robots_txt(txt)
     return web, images, robots
+
+
+def sequential_recrawl_oracle(
+    pages: list[dict],
+    web: dict[str, tuple[str, list[str]]],
+    images: dict[str, tuple[int, str]],
+    robots: dict[str, list[tuple[str, str]]],
+    cfg: OracleConfig,
+    max_pages: int | None = None,
+) -> dict:
+    """Verbatim replay of the reference recrawl loop (WebCrawler.java
+    recrawl/recrawlThread/recrawlUrl, :536-761): pages in rank-DESC order,
+    budget unit per pop with refunds for over-cap (:663-668), robots
+    (:670-674), doc==null — fetch fail or 304 (:680-699); 200 with equal
+    hash keeps old fields but CONSUMES (:705-718); changed updates fields
+    and flags link structure (:719-747). PageRank recomputed iff any
+    consumed page changed links (:571-580, flush-clearing quirk replaced
+    by the intent — see CrawlEngine.recrawl)."""
+    budget = max_pages if max_pages is not None else cfg.max_pages
+    order = sorted(pages, key=lambda p: (-p["rank"], p["url"]))
+    updated = {p["url"]: dict(p) for p in pages}
+    statuses: dict[str, str] = {}
+    host_counts: dict[str, int] = {}
+    consumed = 0
+    any_struct = False
+    for p in order:
+        if consumed >= budget:
+            break  # :590-594 — pop stops once the budget is gone
+        u = p["url"]
+        host = host_of_py(u)
+        if host_counts.get(host, 0) >= cfg.max_pages_per_domain:
+            statuses[u] = "domain_skip"
+            continue
+        if not cfg.robots_reference_bug and not is_allowed_py(
+            u, robots.get(host, [])
+        ):
+            statuses[u] = "blocked_robots"
+            continue
+        hit = web.get(u)
+        img = images.get(hit[0]) if hit else None
+        if img is None:
+            statuses[u] = "touched"  # doc == null: keep old, refund
+            continue
+        new_phash, new_caption = img
+        same_payload = (
+            new_phash == p["phash"] and new_caption == p["caption"]
+        )
+        if datagen.host_supports_validators(host) and same_payload:
+            statuses[u] = "touched"  # 304
+            continue
+        if new_phash == p["phash"]:
+            statuses[u] = "unchanged"  # 200, equal hash: keep old, consume
+            host_counts[host] = host_counts.get(host, 0) + 1
+            consumed += 1
+            continue
+        # changed: update fields, recompute children if depth allows
+        statuses[u] = "changed"
+        host_counts[host] = host_counts.get(host, 0) + 1
+        consumed += 1
+        new_children: list[str] = []
+        if p["depth"] < cfg.max_depth:
+            for c in hit[1]:
+                n = normalize_url_py(c)
+                if n is not None:
+                    new_children.append(n)
+        struct = new_children != p["children"]
+        any_struct = any_struct or struct
+        row = updated[u]
+        row["image_id"] = hit[0]
+        row["phash"] = new_phash
+        row["caption"] = new_caption
+        row["children"] = new_children
+    ranks: dict[str, float] | None = None
+    if any_struct:
+        from navi_spark.operators.pagerank import pagerank_py
+
+        ranks = pagerank_py(list(updated.values()))
+        for u, r in ranks.items():
+            updated[u]["rank"] = r
+    return {
+        "pages": updated,
+        "statuses": statuses,
+        "consumed": consumed,
+        "host_counts": host_counts,
+        "pagerank_recomputed": any_struct,
+        "ranks": ranks,
+    }

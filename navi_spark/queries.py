@@ -1402,10 +1402,42 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
-@_q("mm_image_features", None)
+def _values_sql(rows: list[tuple], alias: str) -> str:
+    """Literal VALUES oracle for fixed-universe queries whose expected
+    output is a deterministic constant (generated by
+    scripts/gen_e2e_oracles.py from the pure-Python oracles — the pytest
+    suite independently asserts engine == oracle; this upgrades the driver
+    check from rows-only to full hash match)."""
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return f"CAST({v} AS BIGINT)"
+        if isinstance(v, float):
+            return f"CAST({v!r} AS DOUBLE)"
+        raise TypeError(type(v))
+
+    vals = ",\n".join(
+        "(" + ", ".join(lit(v) for v in r) + ")" for r in rows
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS {alias}"
+
+
+def _mm_features_oracle() -> str:
+    from navi_spark.e2e_expected import MM_IMAGE_FEATURES
+
+    return _values_sql(MM_IMAGE_FEATURES, "t(image_id, feat_sum)")
+
+
+@_q("mm_image_features", _mm_features_oracle())
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: decode→feature-extract over the synthetic image table
-    (binary payload plumbing; no driver-table twin possible)."""
+    (binary payload plumbing). Oracle: literal expected (image_id,
+    feat_sum) replayed by scripts/gen_e2e_oracles.py through the same
+    decode + feature math in pure numpy (PNG decode is exact; the fold and
+    HALF_UP rounding mirror F.aggregate/F.round bit-for-bit)."""
     from navi_spark.operators.multimodal import image_features
     from navi_spark.sources.datagen import generate_images
 
@@ -1418,12 +1450,19 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("crawl_engine_e2e", None)
+def _crawl_e2e_oracle() -> str:
+    from navi_spark.e2e_expected import CRAWL_E2E
+
+    return _values_sql(CRAWL_E2E, "t(url, image_id, phash, caption)")
+
+
+@_q("crawl_engine_e2e", _crawl_e2e_oracle())
 def crawl_engine_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL ENGINE end-to-end: bootstrap→waves→index_feed on a small
     deterministic universe (the north-star handoff contract C24).
-    Deterministic output; parity vs the Python oracle is asserted in
-    tests/test_frontier.py."""
+    Oracle: literal expected rows from the pure-Python heap replay
+    (scripts/gen_e2e_oracles.py); parity engine==oracle is independently
+    asserted in tests/test_frontier.py."""
     import shutil
     import tempfile
 
@@ -1454,6 +1493,62 @@ def crawl_engine_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(
         out, "url string, image_id string, phash long, caption string"
+    )
+
+
+def _recrawl_e2e_oracle() -> str:
+    from navi_spark.e2e_expected import RECRAWL_E2E
+
+    return _values_sql(
+        RECRAWL_E2E, "t(url, image_id, phash, rank_r, n_children)"
+    )
+
+
+@_q("c21_recrawl_e2e", _recrawl_e2e_oracle())
+def c21_recrawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21 COMPOSED recrawl driver end-to-end (WebCrawler.java:536-761):
+    crawl the v0 universe, then CrawlEngine.recrawl() against the drifted
+    v1 web — conditional-GET classify, MERGE of changed pages, PageRank
+    recomputed into pages.rank because link structures changed. Oracle:
+    literal expected final pages from the sequential Python recrawl replay
+    (scripts/gen_e2e_oracles.py)."""
+    import shutil
+    import tempfile
+
+    from navi_spark.operators.frontier import CrawlConfig, CrawlEngine
+    from navi_spark.sources.datagen import (
+        generate_images,
+        generate_robots,
+        generate_seeds,
+        generate_web,
+    )
+
+    n_urls, n_hosts = 120, 8
+    web = generate_web(spark, n_urls, n_hosts)
+    images = generate_images(spark, n_urls)
+    robots = generate_robots(spark, n_hosts)
+    seeds = generate_seeds(5, n_urls, n_hosts)
+    workdir = tempfile.mkdtemp(prefix="navi-recrawl-e2e-")
+    try:
+        eng = CrawlEngine(
+            spark, workdir, web, images, robots,
+            CrawlConfig(max_pages=20, max_pages_per_domain=3, wave_budget=10,
+                        n_host_partitions=4, salt_buckets=2),
+        )
+        eng.bootstrap(seeds)
+        eng.run(max_waves=10)
+        eng.recrawl(web=generate_web(spark, n_urls, n_hosts, version=1))
+        out = eng.pages().select(
+            "url", "image_id", "phash",
+            F.round("rank", 4).alias("rank_r"),
+            F.size("children").alias("n_children"),
+        ).collect()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "url string, image_id string, phash long, rank_r double, "
+        "n_children int",
     )
 
 

@@ -256,16 +256,56 @@ def children_dirty(i: int, n_urls: int, n_hosts: int, max_children: int = 8) -> 
     ]
 
 
+def web_image_id(i: int, n_images: int, version: int = 0) -> str:
+    """image_id served at `url i` in web `version` (C21 drift model):
+    version>0 repoints every 3rd page at a different image — a content
+    change whose validators (etag/Last-Modified = f(payload)) stop
+    matching, exactly how a real server signals modification."""
+    if fetch_fails(i):
+        return f"imgmissing{i:07d}"
+    base = i % n_images
+    if version and i % 3 == 0:
+        base = (i + version) % n_images
+    return f"img{base:010d}"
+
+
+def web_children(i: int, n_urls: int, n_hosts: int, version: int = 0) -> list[str]:
+    """Out-links at `url i` in web `version`: version>0 appends one extra
+    link to every 2nd page (link-structure drift). Note the reference only
+    OBSERVES a link change when the content hash also changed
+    (WebCrawler.java:705-717 keeps old children on equal hash) — so only
+    pages with BOTH drifts (i % 6 == 0 here) flip link_structure_changed."""
+    ch = children_dirty(i, n_urls, n_hosts)
+    if version and i % 2 == 0:
+        ch = ch + [dirty_url((i * 31 + version * 17) % n_urls, n_hosts)]
+    return ch
+
+
+def host_supports_validators(host: str) -> bool:
+    """Whether the synthetic server at `host` honors If-None-Match /
+    If-Modified-Since: a quarter of hosts (hid % 4 == 1) ignore validators
+    and always answer 200 — their unchanged pages come back as a full
+    fetch with an equal content hash, the reference recrawl's 'unchanged'
+    branch (WebCrawler.java:709-718); validator-honoring hosts 304 instead
+    (the doc==null keep-old branch at :680-699)."""
+    import re as _re
+
+    m = _re.match(r"host(\d+)\.test$", host)
+    return m is None or int(m.group(1)) % 4 != 1
+
+
 def generate_web(
     spark: SparkSession,
     n_urls: int,
     n_hosts: int = 100,
     n_images: int | None = None,
     parts: int | None = None,
+    version: int = 0,
 ) -> DataFrame:
     """The synthetic fetchable web: ``(url, image_id, children)`` keyed by
     CANONICAL url. ``image_id`` dangles for ~3% of rows (fetch failure);
-    children are dirty spellings closed over the URL universe."""
+    children are dirty spellings closed over the URL universe. `version`
+    models server-side drift between a crawl and a recrawl (C21)."""
     n_images = n_images if n_images is not None else n_urls
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -275,11 +315,11 @@ def generate_web(
                 {
                     "url": [canonical_url(i, n_hosts) for i in idx],
                     "image_id": [
-                        f"imgmissing{i:07d}" if fetch_fails(i)
-                        else f"img{i % n_images:010d}"
-                        for i in idx
+                        web_image_id(i, n_images, version) for i in idx
                     ],
-                    "children": [children_dirty(i, n_urls, n_hosts) for i in idx],
+                    "children": [
+                        web_children(i, n_urls, n_hosts, version) for i in idx
+                    ],
                 }
             )
 

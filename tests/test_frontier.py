@@ -519,3 +519,130 @@ def test_deep_seen_row_still_consumes_budget(spark, universe):
         assert eng.pages().count() == pages_before       # nothing stored
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# C21 composed recrawl (WebCrawler.java:536-761)
+# ---------------------------------------------------------------------------
+
+def _recrawl_universe(spark, n_urls=300, n_hosts=12, version=1):
+    from navi_spark.sources.datagen import generate_web
+    web_v1 = generate_web(spark, n_urls, n_hosts, version=version).cache()
+    web_v1.count()
+    return web_v1
+
+
+def _oracle_pages_map(ores):
+    return {p["url"]: p for p in ores.pages}
+
+
+def test_recrawl_parity_with_sequential_oracle(spark, universe, oracle_result):
+    from navi_spark.oracle import sequential_recrawl_oracle
+
+    web, images, robots, seeds = universe
+    workdir = tempfile.mkdtemp(prefix="navi-recrawl-")
+    try:
+        eng, seeds = _mk_engine(spark, universe, workdir)
+        eng.bootstrap(seeds)
+        eng.run(max_waves=30)
+
+        web_v1 = _recrawl_universe(spark, N_URLS, N_HOSTS, version=1)
+        stats = eng.recrawl(web=web_v1, max_pages=12)
+
+        oweb1, oimages, orobots = build_oracle_inputs(
+            N_URLS, N_HOSTS, version=1
+        )
+        ocfg = OracleConfig(
+            max_pages=MAX_PAGES, max_pages_per_domain=CAP, wave_budget=WAVE
+        )
+        ores = sequential_recrawl_oracle(
+            oracle_result.pages, oweb1, oimages, orobots, ocfg, max_pages=12
+        )
+
+        assert stats["consumed"] == ores["consumed"]
+        assert stats["pagerank_recomputed"] == ores["pagerank_recomputed"]
+        got = {
+            r["url"]: (r["image_id"], r["phash"], r["caption"],
+                       list(r["children"]), r["rank"])
+            for r in eng.pages().collect()
+        }
+        want = {
+            u: (p["image_id"], p["phash"], p["caption"],
+                list(p["children"]), p["rank"])
+            for u, p in ores["pages"].items()
+        }
+        assert set(got) == set(want)
+        for u in got:
+            assert got[u][:4] == want[u][:4], u
+            assert got[u][4] == pytest.approx(want[u][4], rel=1e-9), u
+        web_v1.unpersist()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_recrawl_no_drift_is_all_refunds(spark, universe):
+    """Same web version → every page 304s (or 200-unchanged on the
+    no-validator hosts); nothing changes, PageRank NOT recomputed."""
+    workdir = tempfile.mkdtemp(prefix="navi-recrawl0-")
+    try:
+        eng, seeds = _mk_engine(spark, universe, workdir)
+        eng.bootstrap(seeds)
+        eng.run(max_waves=30)
+        before = sorted(
+            (r["url"], r["phash"], r["rank"]) for r in eng.pages().collect()
+        )
+        stats = eng.recrawl()  # same web/images
+        assert stats["changed"] == 0
+        assert not stats["pagerank_recomputed"]
+        after = sorted(
+            (r["url"], r["phash"], r["rank"]) for r in eng.pages().collect()
+        )
+        assert after == before
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_resume_mid_recrawl_rolls_back_merge(spark, universe):
+    """A crash AFTER the recrawl MERGE but BEFORE the state commit must
+    roll the pages table back to the pre-recrawl snapshot on resume, and a
+    re-run recrawl then lands the same final state (idempotent replay)."""
+    from navi_spark.operators.frontier import CrawlEngine
+
+    workdir = tempfile.mkdtemp(prefix="navi-recrawl-torn-")
+    try:
+        eng, seeds = _mk_engine(spark, universe, workdir)
+        eng.bootstrap(seeds)
+        eng.run(max_waves=30)
+        before = sorted(
+            (r["url"], r["phash"]) for r in eng.pages().collect()
+        )
+        web_v1 = _recrawl_universe(spark, N_URLS, N_HOSTS, version=1)
+
+        real_overwrite = eng.t["state"].overwrite
+        def crash(*a, **kw):
+            raise RuntimeError("simulated crash before state commit")
+        eng.t["state"].overwrite = crash
+        with pytest.raises(RuntimeError):
+            eng.recrawl(web=web_v1)
+        eng.t["state"].overwrite = real_overwrite
+
+        # fresh engine + resume: torn pages commits rolled back
+        web, images, robots, _ = universe
+        from navi_spark.operators.frontier import CrawlConfig
+        eng2 = CrawlEngine(
+            spark, workdir, web, images, robots,
+            CrawlConfig(max_pages=MAX_PAGES, max_pages_per_domain=CAP,
+                        wave_budget=WAVE, n_host_partitions=4,
+                        salt_buckets=2),
+        )
+        eng2.resume()
+        assert sorted(
+            (r["url"], r["phash"]) for r in eng2.pages().collect()
+        ) == before
+
+        # replaying the recrawl completes and changes pages deterministically
+        stats = eng2.recrawl(web=web_v1)
+        assert stats["changed"] > 0
+        web_v1.unpersist()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
