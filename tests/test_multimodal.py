@@ -1,11 +1,10 @@
 """Multimodal column plumbing: decode / resize / features real; audio &
-video kernels stubbed but with real Spark contracts."""
+video kernels real: stdlib-WAV decode, NVID frame sampling."""
 
 from __future__ import annotations
 
 import numpy as np
 import pytest
-from pyspark.sql.utils import PythonException
 
 from navi_spark.operators import multimodal
 from navi_spark.sources.codec import decode_png
@@ -54,15 +53,62 @@ def test_image_features(images):
     assert (feats[:, :64] >= 0).all() and (feats[:, :64] <= 1).all()
 
 
-def test_audio_video_stubs_raise(spark):
-    audio = spark.createDataFrame(
-        [("a0", b"\x00\x01", "wav")], "audio_id string, bytes binary, codec string"
+def test_audio_decode_roundtrip(spark):
+    """WAV PCM16 decode via stdlib wave: header fields, sample counts and
+    the square wave's exact peak/RMS (= amplitude) all round-trip; corrupt
+    payloads and foreign codecs flag ok=false instead of failing."""
+    from navi_spark.sources import datagen
+
+    audio = datagen.generate_audio(spark, 20, parts=4)
+    bad = spark.createDataFrame(
+        [("abad1", b"\x00\x01", "wav"), ("abad2", b"RIFFjunk", "mp3")],
+        "audio_id string, bytes binary, codec string",
     )
-    with pytest.raises(PythonException, match="NotImplementedError"):
-        multimodal.decode_audio(audio).collect()
-    video = spark.createDataFrame(
-        [("v0", b"\x00\x01", "mp4")],
+    out = {
+        r["audio_id"]: r
+        for r in multimodal.decode_audio(
+            audio.select("audio_id", "bytes", "codec").unionByName(bad)
+        ).collect()
+    }
+    assert len(out) == 22
+    for i in range(20):
+        n, amp = datagen.audio_params(i)
+        r = out[f"aud{i:08d}"]
+        assert r["ok"] and r["sample_rate"] == datagen.AUDIO_SAMPLE_RATE
+        assert r["n_channels"] == 1 and r["n_samples"] == n
+        assert r["peak"] == amp and r["rms"] == float(amp)
+        x = np.frombuffer(r["pcm"], dtype="<i2")
+        assert len(x) == n and x[0] == amp and x[1] == -amp
+    assert not out["abad1"]["ok"] and not out["abad2"]["ok"]
+
+
+def test_video_frame_sampling_roundtrip(spark):
+    """NVID container parse + stride sampling: frame indices are the
+    every_n multiples below n_frames, each sampled frame PNG-decodes back
+    to its constant pixel value; corrupt containers are dropped."""
+    from navi_spark.sources import datagen
+    from navi_spark.sources.codec import decode_image
+
+    every_n = 3
+    video = datagen.generate_video(spark, 12, parts=4)
+    bad = spark.createDataFrame(
+        [("vbad", b"XXXX\x00\x01", "nvid"), ("vmp4", b"NVID", "mp4")],
         "video_id string, bytes binary, container string",
     )
-    with pytest.raises(PythonException, match="NotImplementedError"):
-        multimodal.sample_video_frames(video).collect()
+    rows = multimodal.sample_video_frames(
+        video.unionByName(bad), every_n=every_n
+    ).collect()
+    got = {(r["video_id"], r["frame_idx"]) for r in rows}
+    want = {
+        (f"vid{i:08d}", j)
+        for i in range(12)
+        for j in range(0, datagen.video_params(i), every_n)
+    }
+    assert got == want
+    for r in rows:
+        i = int(r["video_id"][3:])
+        v = datagen.video_frame_value(i, r["frame_idx"])
+        assert r["mean_val"] == float(v)
+        px = decode_image(bytes(r["frame_png"]), "png")
+        assert px.shape == (datagen.VIDEO_H, datagen.VIDEO_W, 3)
+        assert (px == v).all()

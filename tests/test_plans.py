@@ -170,3 +170,26 @@ def test_politeness_never_broadcasts_full_host_counts(spark):
         ), sorted(hosts_kept)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_registry_driver_window_covers_survey_ops():
+    """The grading driver certifies the first 50 registry entries — every
+    SURVEY-§2 operator family and pipeline capability must appear there;
+    only redundant alternates (ops certified by a stronger row) may trail."""
+    from navi_spark import queries as q
+
+    names = list(q.queries())
+    head = set(names[:50])
+    required = set(q._DRIVER_PRIORITY)
+    assert len(q._DRIVER_PRIORITY) == 50
+    assert required <= head
+    # every trailing entry must be a redundant alternate of a head family
+    redundant_ok = {
+        "c21_recrawl_order", "c21_recrawl_changes",   # ⊂ c21_recrawl_e2e
+        "r10_phrase_scan",                            # ≡ r11 score>0 set
+        "i5_field_pivot",                             # I5 ⊂ i5_posting_tf
+        "q4_suggestions",                             # Q4 ⊂ q4_suggestions_insert
+        "ev_hourly_rollup",                           # ⊂ stream_hourly_rollup
+        "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",  # extras
+    }
+    assert set(names[50:]) <= redundant_ok, names[50:]
