@@ -108,14 +108,15 @@ def frontier_throughput(
     cand = raw.select(normalize_url_udf("url").alias("url")).filter(
         F.col("url").isNotNull()
     )
-    cand = cand.withColumn("host", host_expr(F.col("url"))).withColumn(
-        "rank", (F.pmod(F.xxhash64("url"), F.lit(1000)) / 1000.0)
-    )
     # within-batch dedup (first spelling wins) — hash agg, not a window:
-    # per-url windows pay per-group sort overhead (41s vs ~3s at 500k urls)
-    cand = cand.groupBy("url").agg(
-        F.min("rank").alias("rank"), F.first("host").alias("host")
-    )
+    # per-url windows pay per-group sort overhead (41s vs ~3s at 500k urls).
+    # rank and host are pure functions of the CANONICAL url (identical for
+    # every dup spelling), so both are derived AFTER the exchange: the
+    # dedup shuffle carries the bare url string and nothing else
+    cand = cand.distinct()
+    cand = cand.withColumn(
+        "rank", (F.pmod(F.xxhash64("url"), F.lit(1000)) / 1000.0)
+    ).withColumn("host", host_expr(F.col("url")))
     new = cand.join(seen, "url", "left_anti").persist()
     # politeness: window ONLY the over-cap (hot) hosts. In a Zipf host
     # distribution almost every host is under cap — rows of under-cap hosts

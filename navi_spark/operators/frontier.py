@@ -284,17 +284,23 @@ class CrawlEngine:
         # Duplicate heap entries are outcome-equivalent in the reference:
         # the first pop decides, later pops of the same url hit the visited
         # check or fail identically (deterministic robots/fetch/dup).
+        # Shuffle-byte discipline: host and url_hash are pure functions of
+        # url, so they are DROPPED before the dedup exchange and recomputed
+        # after it — at the 10^10-URL design point the dedup shuffle is the
+        # wave's largest, and carrying a ~15-char host + 8-byte hash per
+        # row through it is ~30% wasted bytes. (The seen anti-join already
+        # avoids shuffling strings for the common case: the bloom
+        # pre-filter keys on url_hash and only bloom-positive rows reach
+        # the exact string join.)
         cand = (
             frontier.groupBy("url")
-            .agg(
-                F.min(F.struct("rank", "depth")).alias("_m"),
-                F.first("host").alias("host"),
-                F.first("url_hash").alias("url_hash"),
-            )
+            .agg(F.min(F.struct("rank", "depth")).alias("_m"))
             .select(
                 "url", F.col("_m.rank").alias("rank"),
-                F.col("_m.depth").alias("depth"), "host", "url_hash",
+                F.col("_m.depth").alias("depth"),
             )
+            .withColumn("host", host_expr(F.col("url")))
+            .withColumn("url_hash", F.xxhash64("url"))
         )
         cand = cand.withColumn("host_partition", self._hp()).cache()
         if remaining_global <= 0 or cand.isEmpty():
