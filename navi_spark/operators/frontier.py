@@ -364,7 +364,10 @@ class CrawlEngine:
                         / F.col("crawl_delay_s")),
             ).cast("int")
             open_rows = (
-                open_rows.join(F.broadcast(delays), on="host", how="left")
+                # delays = hosts with a Crawl-delay rule — unbounded at the
+                # design point, same discipline as host_counts: no forced
+                # broadcast, AQE promotes it at runtime while small
+                open_rows.join(delays, on="host", how="left")
                 .withColumn(
                     "_remaining",
                     F.when(F.col("crawl_delay_s").isNotNull(),

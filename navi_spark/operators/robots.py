@@ -150,12 +150,16 @@ def parsed_rules_table(robots_df: DataFrame) -> DataFrame:
 
 def filter_allowed(candidates: DataFrame, rules: DataFrame,
                    url_col: str = "url", host_col: str = "host",
-                   broadcast_rules: bool = True) -> DataFrame:
+                   broadcast_rules: bool = False) -> DataFrame:
     """Annotate candidates with `robots_allowed` (C12).
 
     Left join on host (missing host row = no robots.txt = allow), then one
-    vectorized match. `broadcast_rules=True` for small host universes;
-    at 10^8+ hosts flip it off and let AQE pick the shuffle join.
+    vectorized match. The rules table has one row per host that serves a
+    robots.txt — UNBOUNDED at the 10^10-URL design point, so it is NOT
+    broadcast by default: AQE broadcasts whichever side is actually small
+    at runtime (in the wave that is usually `candidates`, which is bounded
+    by the wave budget). `broadcast_rules=True` opts in the hint for
+    known-small host universes.
     """
     r = F.broadcast(rules) if broadcast_rules else rules
     joined = candidates.join(

@@ -71,7 +71,10 @@ def test_broadcast_join_for_small_rules(spark):
         F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("id")).alias("url"),
         host.alias("host"),
     )
-    out = filter_allowed(cand, parsed_rules_table(robots))
+    # broadcast_rules=True is the explicit opt-in for known-small host
+    # universes; the default leaves the choice to AQE (the rules relation
+    # is unbounded at the design point and must not be force-broadcast)
+    out = filter_allowed(cand, parsed_rules_table(robots), broadcast_rules=True)
     assert "BroadcastHashJoin" in explain_str(out, "simple")
 
 
