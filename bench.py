@@ -196,10 +196,15 @@ def main() -> None:
 
     # warmup: fork the python workers + JIT the codegen paths once, so the
     # measurement is steady-state throughput, not process cold-start;
-    # min-of-2 rides out the shared-host noise (±2× on identical runs)
+    # min-of-N rides out the shared-host noise (±2× on identical runs).
+    # Warmup is two-step (small, then FULL-SIZE untimed): C2-JIT keeps
+    # compiling through the first full-size pass — measured 43s → 13s → 5s
+    # across identical consecutive runs — so a small-only warmup leaves the
+    # first timed rep paying compilation, wasting one of the min() samples.
     frontier_throughput(spark, 20_000, 50)
+    frontier_throughput(spark, N_URLS, N_HOSTS)
     fr = min(
-        (frontier_throughput(spark, N_URLS, N_HOSTS) for _ in range(3)),
+        (frontier_throughput(spark, N_URLS, N_HOSTS) for _ in range(5)),
         key=lambda r: r["wall_sec"],
     )
 
