@@ -68,7 +68,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from navi_spark.catalog import SnapshotTable
 from navi_spark.functions.urlnorm import host_expr, normalize_url_udf
-from navi_spark.operators import bloom
+from navi_spark.operators import bloom, cuckoo
 from navi_spark.operators.fetch import (
     language_gate,
     payload_etag,
@@ -111,6 +111,12 @@ class CrawlConfig:
     bloom_bits_per_partition: int = 1 << 20
     bloom_hashes: int = 7
     use_bloom: bool = True
+    # which approximate-membership structure backs the seen pre-filter:
+    # 'bloom' (default) or 'cuckoo' (lower FP per bit at high load +
+    # deletion support — north star names both). Parity is identical:
+    # either filter only prunes the exact anti-join's input.
+    seen_filter: str = "bloom"
+    cuckoo_buckets_per_partition: int = 1 << 16
     validate_payloads: bool = True
     max_waves: int = 10_000
     # North-rule crawl-delay budget (robots Crawl-delay, which the
@@ -325,7 +331,12 @@ class CrawlEngine:
         seen = self.t["seen"].read_or_empty(SEEN_SCHEMA)
         if cfg.use_bloom and self.t["filters"].exists():
             flt = self.t["filters"].read()
-            marked = bloom.annotate_maybe_seen(shallow, flt, cfg.bloom_hashes)
+            if cfg.seen_filter == "cuckoo":
+                marked = cuckoo.annotate_maybe_seen(shallow, flt)
+            else:
+                marked = bloom.annotate_maybe_seen(
+                    shallow, flt, cfg.bloom_hashes
+                )
             definite_new = marked.filter(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = marked.filter(F.col("maybe_seen")).drop("maybe_seen")
             new = definite_new.unionByName(
@@ -498,12 +509,19 @@ class CrawlEngine:
         self.t["phash_seen"].append(successes.select("phash").distinct(), {"wave": w})
         if cfg.use_bloom:
             old_f = self.t["filters"].read_or_empty(bloom.FILTERS_SCHEMA)
-            new_f = bloom.update_filters(
-                old_f,
-                successes.select("host_partition", "url_hash"),
-                cfg.bloom_bits_per_partition,
-                cfg.bloom_hashes,
-            )
+            if cfg.seen_filter == "cuckoo":
+                new_f = cuckoo.update_filters(
+                    old_f,
+                    successes.select("host_partition", "url_hash"),
+                    cfg.cuckoo_buckets_per_partition,
+                )
+            else:
+                new_f = bloom.update_filters(
+                    old_f,
+                    successes.select("host_partition", "url_hash"),
+                    cfg.bloom_bits_per_partition,
+                    cfg.bloom_hashes,
+                )
             self.t["filters"].overwrite(new_f, {"wave": w})
         new_counts = (
             self.t["host_counts"].read_or_empty(HOST_COUNTS_SCHEMA)

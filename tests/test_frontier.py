@@ -646,3 +646,23 @@ def test_resume_mid_recrawl_rolls_back_merge(spark, universe):
         web_v1.unpersist()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_cuckoo_seen_filter_same_result(spark, universe, oracle_result):
+    """The cuckoo pre-filter variant (north star: 'bloom/cuckoo') must be
+    outcome-identical: either filter only prunes the exact anti-join's
+    input, never decides membership."""
+    workdir = tempfile.mkdtemp(prefix="navi-ck-")
+    try:
+        eng, seeds = _mk_engine(
+            spark, universe, workdir,
+            seen_filter="cuckoo", cuckoo_buckets_per_partition=1 << 10,
+        )
+        eng.bootstrap(seeds)
+        eng.run(max_waves=30)
+        visit, seen, counts = _engine_state(eng)
+        assert visit == oracle_result.visit_order
+        assert seen == oracle_result.seen
+        assert counts == oracle_result.host_counts
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
