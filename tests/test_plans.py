@@ -194,5 +194,6 @@ def test_registry_driver_window_covers_survey_ops():
         "q4_suggestions",                             # Q4 ⊂ q4_suggestions_insert
         "ev_hourly_rollup",                           # ⊂ stream_hourly_rollup
         "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",  # extras
+        "text_langid",  # extra depth beyond the certified c14 language gate
     }
     assert set(names[50:]) <= redundant_ok, names[50:]
