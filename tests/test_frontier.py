@@ -666,3 +666,42 @@ def test_cuckoo_seen_filter_same_result(spark, universe, oracle_result):
         assert counts == oracle_result.host_counts
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_crawl_recrawl_crawl_lifecycle(spark, universe):
+    """Full freshness lifecycle: crawl part of the budget, recrawl against
+    a drifted web (ranks move via PageRank), then CONTINUE crawling — the
+    frontier must still schedule, the seen set stays consistent (no page
+    crawled twice), and budget accounting carries across the phases."""
+    workdir = tempfile.mkdtemp(prefix="navi-life-")
+    try:
+        eng, seeds = _mk_engine(spark, universe, workdir)
+        eng.bootstrap(seeds)
+        eng.run(max_waves=2)           # partial crawl
+        pages_mid = eng.pages().count()
+        budget_mid = eng.budget_consumed
+        assert 0 < pages_mid
+
+        web_v1 = _recrawl_universe(spark, N_URLS, N_HOSTS, version=1)
+        stats = eng.recrawl(web=web_v1)
+        assert stats["pagerank_recomputed"] or stats["changed"] == 0
+        assert eng.budget_consumed == budget_mid  # crawl budget untouched
+
+        eng.run(max_waves=30)          # continue crawling the v1 web
+        pages_end = eng.pages().collect()
+        urls = [r["url"] for r in pages_end]
+        assert len(urls) == len(set(urls))        # no page stored twice
+        assert len(urls) >= pages_mid
+        seen = {r["url"] for r in eng.seen().collect()}
+        assert set(urls) <= seen
+        # per-host counts never exceed the cap after all three phases
+        counts = {r["host"]: r["successes"]
+                  for r in eng.t["host_counts"].read().collect()}
+        assert all(v <= CAP for v in counts.values()), counts
+        # resumable end state: a fresh engine picks up the same tables
+        eng2, _ = _mk_engine(spark, universe, workdir)
+        eng2.resume()
+        assert eng2.pages().count() == len(urls)
+        web_v1.unpersist()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
