@@ -198,6 +198,7 @@ def phrase_prune(
     max_ids_for_pushdown: int = 10_000,
     n_docs: int | None = None,
     max_frac: float = 0.1,
+    max_literal_in: int = 1_000,
 ) -> DataFrame:
     """Restrict `pages` to docs containing the RAREST prunable phrase word
     — a guaranteed superset of the regex matches (every match contains all
@@ -214,12 +215,21 @@ def phrase_prune(
     no shuffle — and push them as a literal IN filter on the pages scan:
     parquet row-group skipping, regex only on rows passing the set probe.
 
+    Above `max_literal_in` ids the pushdown switches from a literal IN
+    predicate to a broadcast LEFT SEMI join on the rarest word's id set
+    (no collect at all): a 10k-literal IN bloats plan compile/codegen time
+    out of proportion to its row-group-skipping value, while a ≤10k-row
+    broadcast build side is constant-cost. Note Catalyst pushes the
+    caller's (deterministic) regex below the semi-join onto the scan, so
+    this path bounds OUTPUT rows and compile time rather than scan bytes —
+    the literal-IN path stays the genuinely scan-saving plan, which is why
+    the crossover sits at 1k and not higher.
+
     A DENSE phrase (min df above the cutoff) returns `pages` unchanged:
     the full regex scan the reference always pays (DBManager.java:755-780)
-    is then genuinely the best plan — a semi-join middle path never wins,
-    because Catalyst pushes the (deterministic) regex predicate below the
-    join anyway, so the join adds a shuffle without saving any regex
-    evaluation or scan bytes."""
+    is then genuinely the best plan — a semi-join adds nothing once the
+    candidate set stops being selective, because the pushed-down regex
+    already touches every row."""
     ws = phrase_prunable_words(words)
     if not ws:
         return pages
@@ -235,11 +245,12 @@ def phrase_prune(
     rarest = min(ws, key=lambda w: dfs[w])
     if dfs[rarest] > cutoff:
         return pages  # dense phrase: the full scan is the right plan
-    ids = [
-        r["doc_id"]
-        for r in index.pairs.filter(F.col("word") == rarest)
-        .select("doc_id").collect()
-    ]
+    id_rows = index.pairs.filter(F.col("word") == rarest).select(
+        F.col("doc_id").alias(id_col)
+    )
+    if dfs[rarest] > max_literal_in:
+        return pages.join(F.broadcast(id_rows), on=id_col, how="left_semi")
+    ids = [r[id_col] for r in id_rows.collect()]
     return pages.filter(F.col(id_col).isin(ids))
 
 

@@ -318,19 +318,6 @@ def c17_parent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "c21_recrawl_order",
-    """
-    SELECT doc_id, n_chars FROM documents
-    ORDER BY n_chars DESC, doc_id LIMIT 50
-    """,
-)
-def c21_recrawl_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C21: recrawl scheduling — rank-descending scan (DBManager.java:948)."""
-    d = load(spark, sf_dir, "documents")
-    return d.orderBy(F.desc("n_chars"), "doc_id").limit(50).select("doc_id", "n_chars")
-
-
 def _pagerank_sql(iters: int = 10) -> str:
     parts = [
         "WITH n AS (SELECT count(*) AS n FROM documents)",
@@ -574,157 +561,6 @@ def r3_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (doc_id-derived), giving the query terms df ≈ N/7 and N/5 (idf > 0) and
 # giving most docs TWO query terms — which is what makes the
 # overwrite-parity twin actually diverge from the summing one.
-_T_MARKS = ["ta", "tb", "tc", "td", "te", "tf", "tg"]
-_U_MARKS = ["ua", "ub", "uc", "ud", "ue"]
-_BM25F_TERMS = ("tb", "uc", "ud")
-
-_T_SQL = "[" + ", ".join(f"'{m}'" for m in _T_MARKS) + "]"
-_U_SQL = "[" + ", ".join(f"'{m}'" for m in _U_MARKS) + "]"
-_AUG_TEXT_SQL = (
-    f"text || ' ' || ({_T_SQL})[(doc_id % 7) + 1]"
-    f" || ' ' || ({_U_SQL})[(doc_id % 5) + 1]"
-)
-_BM25F_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25F_TERMS)
-
-_FTOKS_SQL = f"""
-    SELECT doc_id, word,
-           CASE WHEN pos < 2 THEN 'h1' WHEN pos < 4 THEN 'h2'
-                WHEN pos < 6 THEN 'a' ELSE 'other' END AS field
-    FROM (SELECT doc_id, w AS word, pos
-          FROM (SELECT doc_id,
-                       unnest(string_split_regex(
-                           regexp_replace(lower({_AUG_TEXT_SQL}),
-                                          '[^a-z\\s]', '', 'g'),
-                           '\\s+')) AS w,
-                       unnest(range(len(string_split_regex(
-                           regexp_replace(lower({_AUG_TEXT_SQL}),
-                                          '[^a-z\\s]', '', 'g'),
-                           '\\s+')))) AS pos
-                FROM documents) u
-          WHERE w <> '') t
-"""
-
-_BM25F_CORE_SQL = f"""
-    ftoks AS ({_FTOKS_SQL}),
-    n AS (SELECT count(*) AS n FROM documents),
-    lens AS (SELECT doc_id,
-                    count(*) FILTER (field = 'h1') AS len_h1,
-                    count(*) FILTER (field = 'h2') AS len_h2,
-                    count(*) FILTER (field = 'a')  AS len_a,
-                    count(*) FILTER (field = 'other') AS len_other
-             FROM ftoks GROUP BY doc_id),
-    avgs AS (SELECT GREATEST(avg(len_h1), 1e-9) AS a_h1,
-                    GREATEST(avg(len_h2), 1e-9) AS a_h2,
-                    GREATEST(avg(len_a), 1e-9)  AS a_a,
-                    GREATEST(avg(len_other), 1e-9) AS a_other FROM lens),
-    tf AS (SELECT doc_id, word,
-                  count(*) FILTER (field = 'h1') AS tf_h1,
-                  count(*) FILTER (field = 'h2') AS tf_h2,
-                  count(*) FILTER (field = 'a')  AS tf_a,
-                  count(*) FILTER (field = 'other') AS tf_other
-           FROM ftoks WHERE word IN ({_BM25F_TERMS_SQL})
-           GROUP BY doc_id, word),
-    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM ftoks
-           WHERE word IN ({_BM25F_TERMS_SQL}) GROUP BY word),
-    idf AS (SELECT word,
-                   log10(((SELECT n FROM n) - df + 0.5) / (df + 0.5)) AS idf
-            FROM df
-            WHERE log10(((SELECT n FROM n) - df + 0.5) / (df + 0.5)) > 0),
-    term_scores AS (
-        SELECT tf.doc_id, tf.word,
-               idf.idf * (
-                 2.5 * tf_h1 * 2.5 / (tf_h1 + 1.5 * (0.25 + 0.75 * len_h1 / a_h1))
-               + 2.0 * tf_h2 * 2.5 / (tf_h2 + 1.5 * (0.25 + 0.75 * len_h2 / a_h2))
-               + 1.5 * tf_a  * 2.5 / (tf_a  + 1.5 * (0.25 + 0.75 * len_a  / a_a))
-               + 1.0 * tf_other * 2.5
-                     / (tf_other + 1.5 * (0.25 + 0.75 * len_other / a_other))
-               ) AS term_score
-        FROM tf JOIN idf USING (word) JOIN lens USING (doc_id), avgs)
-"""
-
-
-def _bm25f_spark(spark: SparkSession, sf_dir: str, last_term_overwrite: bool):
-    """Shared builder: position-derived fields → pivot postings/lengths →
-    the REAL ranker.bm25f (weights 2.5/2.0/1.5/1.0)."""
-    from navi_spark.operators.ranker import bm25f
-
-    d = load(spark, sf_dir, "documents")
-    n = d.count()
-    aug = F.concat(
-        F.col("text"), F.lit(" "),
-        F.element_at(F.array(*[F.lit(m) for m in _T_MARKS]),
-                     (F.col("doc_id") % 7 + 1).cast("int")),
-        F.lit(" "),
-        F.element_at(F.array(*[F.lit(m) for m in _U_MARKS]),
-                     (F.col("doc_id") % 5 + 1).cast("int")),
-    )
-    words = d.select(
-        "doc_id",
-        F.posexplode(
-            F.split(F.regexp_replace(F.lower(aug), "[^a-z\\s]", ""), "\\s+")
-        ).alias("pos", "word"),
-    ).filter(F.col("word") != "")
-    field = F.when(F.col("pos") < 2, "h1").when(F.col("pos") < 4, "h2")
-    field = field.when(F.col("pos") < 6, "a").otherwise("other")
-    ft = words.withColumn("field", field)
-    fields = ["h1", "h2", "a", "other"]
-    postings = (
-        ft.groupBy("doc_id", "word")
-        .pivot("field", fields)
-        .agg(F.count(F.lit(1)))
-        .fillna(0)
-        .select("doc_id", "word",
-                *[F.col(f_).alias(f"tf_{f_}") for f_ in fields])
-    )
-    lengths = (
-        ft.groupBy("doc_id")
-        .pivot("field", fields)
-        .agg(F.count(F.lit(1)))
-        .fillna(0)
-        .select("doc_id", *[F.col(f_).alias(f"len_{f_}") for f_ in fields])
-    )
-    rel = bm25f(postings, lengths, _BM25F_TERMS, n,
-                last_term_overwrite=last_term_overwrite)
-    return rel.select("doc_id", F.round("relevance", 6).alias("score"))
-
-
-@_q(
-    "r3_bm25f_fields",
-    f"""
-    WITH {_BM25F_CORE_SQL}
-    SELECT doc_id, ROUND(SUM(term_score), 6) AS score
-    FROM term_scores GROUP BY doc_id
-    """,
-)
-def r3_bm25f_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R3 multi-field BM25F with the reference's field weights 2.5/2.0/
-    1.5/1.0 (Ranker.java:133,136), summed over terms (the documented-fix
-    default). Exercises ranker.bm25f's weighted path; the oracle recomputes
-    every per-field term from the same position-derived fields."""
-    return _bm25f_spark(spark, sf_dir, last_term_overwrite=False)
-
-
-@_q(
-    "r3_bm25f_overwrite_parity",
-    f"""
-    WITH {_BM25F_CORE_SQL}
-    SELECT doc_id,
-           ROUND(arg_max(term_score,
-                         CASE word WHEN 'tb' THEN 1 WHEN 'uc' THEN 2
-                              WHEN 'ud' THEN 3 END), 6) AS score
-    FROM term_scores GROUP BY doc_id
-    """,
-)
-def r3_bm25f_overwrite_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R3 in reference-bug parity mode: Ranker.java:268 OVERWRITES the
-    per-doc score on each query term, so only the LAST term present counts.
-    The oracle's arg_max over the term order states that semantics
-    independently — a green row proves the parity flag reproduces the bug
-    exactly, and (vs r3_bm25f_fields) that the flag actually changes
-    results."""
-    return _bm25f_spark(spark, sf_dir, last_term_overwrite=True)
-
-
 @_q(
     "r8_hybrid_topk",
     f"""
@@ -1061,29 +897,6 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "ev_hourly_rollup",
-    """
-    SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 4) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed rollup over the event stream (micro-batch analog of the
-    crawl wave metrics)."""
-    e = load(spark, sf_dir, "events")
-    return (
-        e.groupBy(
-            F.date_format("ts", "yyyy-MM-dd HH").alias("hour_bucket"),
-            "event_type",
-        )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
-    )
-
-
-@_q(
     "stream_hourly_rollup",
     """
     SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
@@ -1182,37 +995,6 @@ def stream_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = spark.table(name).select("url").collect()
     q.stop()
     return spark.createDataFrame(rows, "url string")
-
-
-@_q(
-    "tpch_q1_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           CAST(count(*) AS BIGINT) AS count_order
-    FROM lineitem
-    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-01-01'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational coverage: TPC-H Q1-style pricing summary."""
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.to_date("l_shipdate") <= F.lit("2001-01-01").cast("date"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-                    ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.count("*").alias("count_order"),
-        )
-    )
 
 
 @_q(
@@ -1654,7 +1436,7 @@ def c21_recrawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# second coverage batch: R5/R13/R14/Q4, multi-field I5, robots C12
+# second coverage batch: R5/R13/R14, robots C12, Q4 insert
 # ---------------------------------------------------------------------------
 
 @_q(
@@ -1704,66 +1486,6 @@ def r14_ordered_multiget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pos", "doc_id")
     )
     return ids.join(d, "doc_id").select("pos", "doc_id", "source")
-
-
-@_q(
-    "q4_suggestions",
-    """
-    SELECT doc_id, text AS suggestion FROM documents
-    WHERE lower(text) LIKE '%spark window%'
-    ORDER BY doc_id LIMIT 5
-    """,
-)
-def q4_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4: suggestion fetch — case-insensitive contains, limit 5
-    (DBManager.java:705-728; deterministic tiebreak added)."""
-    d = load(spark, sf_dir, "documents")
-    return (
-        d.filter(F.lower("text").contains("spark window"))
-        .orderBy("doc_id")
-        .limit(5)
-        .select("doc_id", F.col("text").alias("suggestion"))
-    )
-
-
-@_q(
-    "i5_field_pivot",
-    """
-    WITH fields AS (
-        SELECT doc_id,
-               regexp_extract(lower(text), '^(\\S+ \\S+ \\S+)', 1) AS h1,
-               regexp_replace(lower(text), '^(\\S+ \\S+ \\S+)\\s*', '') AS other
-        FROM documents
-    ),
-    toks AS (
-        SELECT doc_id, 'h1' AS field, unnest(string_split_regex(h1, '\\s+')) AS word
-        FROM fields
-        UNION ALL
-        SELECT doc_id, 'other', unnest(string_split_regex(other, '\\s+'))
-        FROM fields
-    )
-    SELECT word, doc_id,
-           CAST(SUM(CASE WHEN field = 'h1' THEN 1 ELSE 0 END) AS BIGINT) AS tf_h1,
-           CAST(SUM(CASE WHEN field = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS tf_other,
-           CAST(count(*) AS BIGINT) AS tf
-    FROM toks WHERE word <> ''
-    GROUP BY word, doc_id
-    HAVING count(*) >= 3
-    """,
-)
-def i5_field_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I5 multi-field posting build (title-as-h1 convention,
-    Indexer.java:156): per-(word, doc) per-field tf via groupBy+pivot.
-    Fields synthesized from documents: h1 = first 3 words, other = rest."""
-    from navi_spark.operators.indexer import build_postings
-
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.regexp_extract(F.lower("text"), r"^(\S+ \S+ \S+)", 1).alias("h1"),
-        F.regexp_replace(F.lower("text"), r"^(\S+ \S+ \S+)\s*", "").alias("other"),
-    )
-    p = build_postings(d, "doc_id", {"h1": "h1", "other": "other"}, stem=False)
-    return p.filter(F.col("tf") >= 3)
 
 
 # Robots rules for the 20 fixture hosts, stated INDEPENDENTLY as ordered
@@ -1938,60 +1660,8 @@ def q4_suggestions_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "suggestion string")
 
 
-@_q(
-    "c21_recrawl_changes",
-    """
-    WITH base AS (
-        SELECT 'https://doc.test/' || doc_id AS url, doc_id % 10 AS m
-        FROM documents
-    )
-    SELECT url,
-           CASE WHEN m <= 5 THEN 'touched'
-                WHEN m <= 7 THEN 'unchanged'
-                ELSE 'changed' END AS status,
-           (m = 9) AS link_structure_changed,
-           (m > 5) AS budget_consumed
-    FROM base
-    """,
-)
-def c21_recrawl_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C13+C21: conditional-GET recrawl classification through the real
-    operator (fetch.classify_recrawl). The synthetic server state makes all
-    three reference outcomes occur: m∈0-5 → validator match → 304 'touched'
-    (budget refunded, WebCrawler.java:697); m∈6-7 → validator rotated but
-    content hash equal → 'unchanged' (:709-718); m∈8-9 → 'changed', with
-    link structure changing only at m=9 (:745-747). The oracle states the
-    expected class per row directly."""
-    from navi_spark.operators.fetch import classify_recrawl
-
-    d = load(spark, sf_dir, "documents")
-    url = F.concat(F.lit("https://doc.test/"), F.col("doc_id").cast("string"))
-    m = F.col("doc_id") % 10
-    old_children = F.array((F.col("doc_id") + 1).cast("string"),
-                           (F.col("doc_id") + 2).cast("string"))
-    old = d.select(
-        url.alias("url"), F.col("n_chars").alias("phash"),
-        old_children.alias("children"),
-        F.concat(F.lit("v"), (F.col("doc_id") % 5).cast("string")).alias("etag"),
-    )
-    new = d.select(
-        url.alias("url"),
-        F.when(m >= 8, F.col("n_chars") + 1).otherwise(F.col("n_chars"))
-        .alias("phash"),
-        F.when(m == 9, F.array((F.col("doc_id") + 3).cast("string")))
-        .otherwise(old_children).alias("children"),
-        F.when(m <= 5,
-               F.concat(F.lit("v"), (F.col("doc_id") % 5).cast("string")))
-        .otherwise(F.concat(F.lit("w"), (F.col("doc_id") % 5).cast("string")))
-        .alias("etag"),
-    )
-    return classify_recrawl(old, new).select(
-        "url", "status", "link_structure_changed", "budget_consumed"
-    )
-
-
 # ---------------------------------------------------------------------------
-# third batch: sessionization, multi-table join, IVF ANN
+# third batch: sessionization, IVF ANN
 # ---------------------------------------------------------------------------
 
 @_q(
@@ -2030,40 +1700,6 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "tpch_q3_shipping_priority",
-    """
-    SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
-    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-    GROUP BY l.l_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, l_orderkey LIMIT 20
-    """,
-)
-def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational coverage: 3-table join + agg + top-k (broadcastable dims
-    → Catalyst picks broadcast joins; TakeOrderedAndProject for the k)."""
-    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
-        .select(
-            "l_orderkey", "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-        )
-        .orderBy(F.desc("revenue"), "l_orderkey")
-        .limit(20)
-    )
-
-
-@_q(
     "sim_ivf_topk",
     """
     SELECT CAST(10 AS INT) AS k, CAST(3 AS INT) AS min_hits,
@@ -2096,54 +1732,3 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# driver-gate ordering: the grading driver certifies the FIRST 50 registry
-# entries (CORRECTNESS_r02 recorded exactly the first 50 of 55), so every
-# SURVEY-§2-coded operator and every training-pipeline capability must sort
-# ahead of redundant/extra entries. The tail entries stay fully functional
-# and oracle-checked by scripts/check_oracle.py — they are alternates whose
-# operator is already certified by a stronger row above (e.g. the composed
-# c21_recrawl_e2e subsumes c21_recrawl_order/changes; r11's score>0 set is
-# definitionally r10's candidate set; i5_posting_tf certifies I5).
-# ---------------------------------------------------------------------------
-
-_DRIVER_PRIORITY = [
-    # crawler C1-C24
-    "c3_url_normalize", "c4_host_extract", "c5_frontier_priority",
-    "c6_depth_filter", "c7_global_budget", "c8_domain_cap",
-    "c9_seen_antijoin", "c12_robots_filter", "c14_language_filter",
-    "c15_content_dedup", "c16_link_expansion", "c17_parent_agg",
-    "c21_recrawl_e2e", "c23_pagerank", "crawl_wave_schedule",
-    "crawl_engine_e2e",
-    # indexer I1-I9
-    "i1_unindexed_scan", "i2_stopword_filter", "i3_tokenize",
-    "i4_porter_stem", "i5_posting_tf", "i6_field_lengths",
-    "i8_field_totals",
-    # ranker R1-R14
-    "r1_document_frequency", "r2_idf", "r3_bm25", "r3_bm25f_fields",
-    "r3_bm25f_overwrite_parity", "r5_candidate_union", "r8_hybrid_topk",
-    "r11_phrase_score", "r12_boolean_combine", "r13_doc_count",
-    "r14_ordered_multiget",
-    # query engine Q4
-    "q4_suggestions_insert",
-    # training-pipeline: dedup / similarity / multimodal / text / streaming
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_embedding_cosine", "sim_cosine_brute", "sim_lsh_topk",
-    "sim_ivf_topk", "mm_image_features", "mm_audio_decode",
-    "mm_video_frames", "text_quality_score", "text_fingerprint",
-    "stream_seen_filter", "stream_hourly_rollup", "ev_sessionize",
-]
-
-
-def _reorder_registry() -> None:
-    global _REGISTRY
-    missing = [n for n in _DRIVER_PRIORITY if n not in _REGISTRY]
-    assert not missing, f"_DRIVER_PRIORITY names unknown queries: {missing}"
-    ordered = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY}
-    ordered.update(
-        (n, v) for n, v in _REGISTRY.items() if n not in ordered
-    )
-    _REGISTRY = ordered
-
-
-_reorder_registry()

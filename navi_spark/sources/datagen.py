@@ -22,6 +22,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from navi_spark.functions.urlnorm import host_of_py as _host_of_py
 from navi_spark.sources.codec import encode_image, make_pixels, phash64
 
 SEED = 42
@@ -236,7 +237,9 @@ def generate_seeds(n_seeds: int, n_urls: int, n_hosts: int = 100) -> list[str]:
     return seeds
 
 
-WEB_SCHEMA = "url string, image_id string, children array<string>"
+WEB_SCHEMA = (
+    "url string, image_id string, children array<string>, honors_304 boolean"
+)
 
 
 def fetch_fails(i: int) -> bool:
@@ -311,14 +314,21 @@ def generate_web(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             idx = [int(i) for i in b["id"]]
+            urls = [canonical_url(i, n_hosts) for i in idx]
             yield pd.DataFrame(
                 {
-                    "url": [canonical_url(i, n_hosts) for i in idx],
+                    "url": urls,
                     "image_id": [
                         web_image_id(i, n_images, version) for i in idx
                     ],
                     "children": [
                         web_children(i, n_urls, n_hosts, version) for i in idx
+                    ],
+                    # per-server validator behavior travels WITH the web
+                    # table (the engine stays universe-agnostic: it reads
+                    # this column instead of knowing host naming rules)
+                    "honors_304": [
+                        host_supports_validators(_host_of_py(u)) for u in urls
                     ],
                 }
             )

@@ -1,7 +1,13 @@
 """Local replica of the driver's correctness gate: run every queries()
 entry on Spark AND its oracle_sql() twin on DuckDB at sf0.01; compare
 row count, schema (column names, sorted) and an order-insensitive value
-hash. Exit nonzero on any mismatch."""
+hash. Exit nonzero on any mismatch.
+
+Usage:
+    python scripts/check_oracle.py [sf_dir] [only_csv]
+    python scripts/check_oracle.py --extra [sf_dir] [only_csv]   # extras only
+    python scripts/check_oracle.py --all   [sf_dir] [only_csv]   # 50 + 9
+"""
 
 from __future__ import annotations
 
@@ -11,13 +17,10 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-import duckdb  # noqa: E402
-from pyspark.sql import SparkSession  # noqa: E402
-
-import __spark_entry__ as entrymod  # noqa: E402
-
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
 
 
 def norm_cell(v):
@@ -51,39 +54,34 @@ def value_hash(cols, rows):
     return h.hexdigest()
 
 
-def main():
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "6g")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+def duck_con(sf_dir: str):
+    import duckdb
 
-    qs = entrymod.queries()
-    sqls = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def check_queries(spark, con, sf_dir, qs, sqls, only=None, verbose=True):
+    """Run the Spark-vs-DuckDB comparison; return [(name, problem), ...]."""
     failures = []
     for name, fn in qs.items():
-        if ONLY and name not in ONLY:
+        if only and name not in only:
             continue
         try:
-            sdf = fn(spark, SF_DIR)
+            sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
-            print(f"FAIL {name}: spark error: {e}")
+            if verbose:
+                print(f"FAIL {name}: spark error: {e}")
             continue
         sql = sqls.get(name)
         if sql is None:
-            print(f"ok   {name}: rows={len(srows)} (no oracle — rows-only)")
+            if verbose:
+                print(f"ok   {name}: rows={len(srows)} (no oracle — rows-only)")
             continue
         try:
             cur = con.execute(sql)
@@ -91,7 +89,8 @@ def main():
             orows = cur.fetchall()
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
-            print(f"FAIL {name}: duckdb error: {e}")
+            if verbose:
+                print(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = []
         if len(srows) != len(orows):
@@ -103,27 +102,69 @@ def main():
             oh = value_hash(ocols, orows)
             if sh != oh:
                 problems.append("value-hash mismatch")
-                # show a small diff
-                so = sorted(
-                    ["|".join(norm_cell(x) for x in r) for r in
-                     [tuple(rr[scols.index(c)] for c in sorted(scols)) for rr in
-                      [tuple(r) for r in srows]]]
-                )
-                oo = sorted(
-                    ["|".join(norm_cell(x) for x in r) for r in
-                     [tuple(rr[ocols.index(c)] for c in sorted(ocols)) for rr in orows]]
-                )
-                diff = [(a, b) for a, b in zip(so, oo) if a != b][:3]
-                for a, b in diff:
-                    print(f"    spark : {a[:160]}")
-                    print(f"    duckdb: {b[:160]}")
+                if verbose:
+                    so = sorted(
+                        "|".join(
+                            norm_cell(rr[scols.index(c)]) for c in sorted(scols)
+                        )
+                        for rr in (tuple(r) for r in srows)
+                    )
+                    oo = sorted(
+                        "|".join(
+                            norm_cell(rr[ocols.index(c)]) for c in sorted(ocols)
+                        )
+                        for rr in orows
+                    )
+                    for a, b in [(a, b) for a, b in zip(so, oo) if a != b][:3]:
+                        print(f"    spark : {a[:160]}")
+                        print(f"    duckdb: {b[:160]}")
         if problems:
             failures.append((name, "; ".join(problems)))
-            print(f"FAIL {name}: {'; '.join(problems)}")
-        else:
+            if verbose:
+                print(f"FAIL {name}: {'; '.join(problems)}")
+        elif verbose:
             print(f"ok   {name}: rows={len(srows)}")
+    return failures
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    mode = "driver"
+    if "--extra" in args:
+        mode = "extra"
+        args.remove("--extra")
+    if "--all" in args:
+        mode = "all"
+        args.remove("--all")
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    only = set(args[1].split(",")) if len(args) > 1 else None
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+    from navi_spark import extra_queries
+
+    qs, sqls = {}, {}
+    if mode in ("driver", "all"):
+        qs.update(entrymod.queries())
+        sqls.update(entrymod.oracle_sql())
+    if mode in ("extra", "all"):
+        qs.update(extra_queries.queries())
+        sqls.update(extra_queries.oracle_sql())
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "6g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_con(sf_dir)
+    failures = check_queries(spark, con, sf_dir, qs, sqls, only)
+    n = len([x for x in qs if not only or x in only])
+    print(f"\n{n - len(failures)}/{n} queries match")
     spark.stop()
     sys.exit(1 if failures else 0)
 

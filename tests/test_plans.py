@@ -19,7 +19,9 @@ from navi_spark.plans import (
 
 
 def test_tpch_q1_pushdown_and_pruning(spark, sf_dir):
-    df = q.tpch_q1_pricing_summary(spark, sf_dir)
+    from navi_spark import extra_queries as xq
+
+    df = xq.tpch_q1_pricing_summary(spark, sf_dir)
     cols = scan_columns(df)
     # column pruning: the scan must NOT read all 11 lineitem columns
     assert cols and all(len(c) <= 7 for c in cols), cols
@@ -175,25 +177,75 @@ def test_politeness_never_broadcasts_full_host_counts(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_registry_driver_window_covers_survey_ops():
-    """The grading driver certifies the first 50 registry entries — every
-    SURVEY-§2 operator family and pipeline capability must appear there;
-    only redundant alternates (ops certified by a stronger row) may trail."""
+def test_phrase_prune_switches_literal_in_to_semi_join_above_cap(spark):
+    """phrase_prune pushes ≤1k candidate ids as a literal IN (parquet
+    row-group skipping); above 1k it must switch to a broadcast left-semi
+    join — a 10k-literal IN bloats plan compile time with no extra
+    skipping value (VERDICT r03 nit 2)."""
+    from navi_spark.operators.ranker import PhraseIndex, phrase_prune
+
+    pages = spark.range(3000).select(
+        F.col("id").cast("string").alias("url"),
+        F.lit("needle rare words").alias("text"),
+    )
+    pairs = spark.range(3000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.when(F.col("id") < 1500, "needle").otherwise("rare").alias("word"),
+    )
+    word_df = pairs.groupBy("word").agg(F.count("*").alias("df"))
+    idx = PhraseIndex(pairs, word_df)
+
+    dense = phrase_prune(pages, idx, ["needle"], id_col="url")
+    plan_dense = explain_str(dense, "simple")
+    assert "LeftSemi" in plan_dense and "Broadcast" in plan_dense, plan_dense
+    assert dense.count() == 1500
+
+    sparse = phrase_prune(pages, idx, ["rare"], id_col="url",
+                          max_literal_in=2000)
+    plan_sparse = explain_str(sparse, "simple")
+    # no join at all: the ids are inlined as a literal membership predicate
+    assert "Join" not in plan_sparse, plan_sparse
+    assert "Filter" in plan_sparse, plan_sparse
+    assert sparse.count() == 1500
+
+
+def test_registry_covers_survey_ops_with_no_certification_window():
+    """The exported registry is EXACTLY the driver-certified surface (the
+    driver caps at 50 entries, so the registry holds 50 — no uncertified
+    tail, no reordering machinery); every SURVEY-§2 operator code appears.
+    Redundant alternates live in navi_spark.extra_queries, held to the same
+    oracle protocol by tests/test_extra_queries.py."""
+    from navi_spark import extra_queries as xq
     from navi_spark import queries as q
 
     names = list(q.queries())
-    head = set(names[:50])
-    required = set(q._DRIVER_PRIORITY)
-    assert len(q._DRIVER_PRIORITY) == 50
-    assert required <= head
-    # every trailing entry must be a redundant alternate of a head family
-    redundant_ok = {
-        "c21_recrawl_order", "c21_recrawl_changes",   # ⊂ c21_recrawl_e2e
-        "r10_phrase_scan",                            # ≡ r11 score>0 set
-        "i5_field_pivot",                             # I5 ⊂ i5_posting_tf
-        "q4_suggestions",                             # Q4 ⊂ q4_suggestions_insert
-        "ev_hourly_rollup",                           # ⊂ stream_hourly_rollup
-        "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",  # extras
-        "text_langid",  # extra depth beyond the certified c14 language gate
+    assert len(names) == 50
+    assert not hasattr(q, "_DRIVER_PRIORITY")  # the window hack stays dead
+    # one strongest row per SURVEY op family, all inside the certified set
+    survey_codes = {
+        # crawler: C1/C2/C10/C11/C13/C18-C20/C22/C24 are certified through
+        # the composed rows (crawl_engine_e2e, c21_recrawl_e2e,
+        # crawl_wave_schedule) + pytest parity, per VERDICT r03
+        "c3_", "c4_", "c5_", "c6_", "c7_", "c8_", "c9_", "c12_", "c14_",
+        "c15_", "c16_", "c17_", "c21_", "c23_",
+        "i1_", "i2_", "i3_", "i4_", "i5_", "i6_", "i8_",
+        "r1_", "r2_", "r3_", "r5_", "r8_", "r10_", "r11_", "r12_", "r13_",
+        "r14_", "q4_",
     }
-    assert set(names[50:]) <= redundant_ok, names[50:]
+    for code in survey_codes:
+        assert any(n.startswith(code) for n in names), f"missing {code}"
+    for family in ("crawl_wave_schedule", "crawl_engine_e2e",
+                   "dedup_", "sim_", "mm_", "text_", "stream_", "ev_"):
+        assert any(n.startswith(family) for n in names), f"missing {family}"
+    # the round-3 additions are inside the certified surface (ADVICE r03)
+    assert "r10_phrase_scan" in names and "text_langid" in names
+    # every extra is a redundant alternate of a certified family
+    alternates = set(xq.queries())
+    assert alternates == {
+        "c21_recrawl_order", "c21_recrawl_changes",   # ⊂ c21_recrawl_e2e
+        "r3_bm25f_fields", "r3_bm25f_overwrite_parity",  # R3 quirk twins
+        "i5_field_pivot",                             # I5 ⊂ i5_posting_tf
+        "q4_suggestions",                             # ⊂ q4_suggestions_insert
+        "ev_hourly_rollup",                           # ⊂ stream_hourly_rollup
+        "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",  # demos
+    }, alternates
