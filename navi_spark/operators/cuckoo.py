@@ -7,9 +7,13 @@ Practically Better Than Bloom", CoNEXT 2014 — public algorithm) store a
 16-bit fingerprint per key in one of two candidate buckets of 4 slots.
 Versus the bloom option: lower false-positive rate per bit at high load,
 and DELETION support (a bloom cannot unset bits), at the cost of a
-bounded-kick insert loop. Deletion matters when a seen-set entry must be
-retired — e.g. a recrawl discovers a URL now 404s and should be
-re-crawlable later — which the bloom path cannot express.
+bounded-kick insert loop. Deletion would matter to an engine that retires
+seen-set entries (e.g. a policy that makes a permanently-404 URL
+re-crawlable); note that `CrawlEngine` itself NEVER deletes — reference
+parity keeps dead pages ('touched', WebCrawler.java:680-699) — so
+:func:`cuckoo_delete` is provided for such future policies and exercised
+only by its unit tests. Also: once a partition's overflow flag is set,
+deletes cannot restore pruning for it (the evicted fingerprint is gone).
 
 Same table shape and role as the bloom (SURVEY.md §4.3): blobs live in a
 `(host_partition, filter, n_items)` table, updated via cogroup →
@@ -136,7 +140,10 @@ def cuckoo_delete(blob: bytes, keys: np.ndarray) -> bytes:
     """Remove keys (one fingerprint occurrence per key) — the operation a
     bloom cannot do. Deleting a never-inserted key can evict another key's
     colliding fingerprint (standard cuckoo-filter caveat): only delete
-    keys known to be present."""
+    keys known to be present. NOT called by CrawlEngine (reference parity
+    never retires seen entries); provided for engines layering a
+    retirement policy on the seen set, and covered by unit tests only.
+    Deletes in an overflowed partition cannot re-enable its pruning."""
     table, n_buckets, _overflow = _parse(blob)
     table = table.copy()
     fps = _fingerprints(keys)

@@ -109,17 +109,37 @@ def payload_etag(phash_col: str = "phash", caption_col: str = "caption") -> Colu
 
 def payload_last_modified(phash_col: str = "phash") -> Column:
     """Synthetic Last-Modified header (C13): deterministic per payload
-    version (WebCrawler.java:185-187, 225-227)."""
+    version (WebCrawler.java:185-187, 225-227).
+
+    Rendered with PURE epoch/date arithmetic: DateType math and its field
+    extractors are timezone-free, so the string is byte-identical under
+    every session timezone — including epochs inside a DST transition
+    window, where the previous to_utc_timestamp(ts, current_timezone()) +
+    date_format round-trip could land an hour off (the shift and the
+    render consult the zone at two different instants)."""
     epoch = F.lit(1_500_000_000) + F.pmod(F.xxhash64(F.col(phash_col)),
                                           F.lit(300_000_000))
-    # date_format renders in spark.sql.session.timeZone; shift the instant
-    # by the session offset so the rendered wall clock is the UTC one the
-    # 'GMT' label claims, independent of session timezone. (Spark formats
-    # EEE/MMM with Locale.US, so the names are locale-stable.)
-    utc_wall = F.to_utc_timestamp(
-        F.timestamp_seconds(epoch), F.expr("current_timezone()")
+    days = F.floor(epoch / F.lit(86400)).cast("int")
+    secs = F.pmod(epoch, F.lit(86400))
+    d = F.date_add(F.to_date(F.lit("1970-01-01")), days)
+    dow = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ("Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat")]),
+        F.dayofweek(d),
     )
-    return F.date_format(utc_wall, "EEE, dd MMM yyyy HH:mm:ss 'GMT'")
+    mon = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                   "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")]),
+        F.month(d),
+    )
+    return F.format_string(
+        "%s, %02d %s %d %02d:%02d:%02d GMT",
+        dow, F.dayofmonth(d), mon, F.year(d),
+        F.floor(secs / 3600).cast("int"),
+        F.floor(F.pmod(secs, 3600) / 60).cast("int"),
+        F.pmod(secs, 60).cast("int"),
+    )
 
 
 def classify_recrawl(

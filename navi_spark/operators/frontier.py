@@ -682,6 +682,14 @@ class CrawlEngine:
         crawledUrls buffer CLEARED at each batch flush (:621-624), so its
         PageRank trigger depends on flush timing; we use the intent — any
         consumed changed page with a link change triggers the recompute.
+
+        `statuses` reports the EXACT reference pop outcomes (the sequential
+        oracle's per-pop classification): budget is checked before each pop
+        (:590-594), the domain cap before everything else (:663-668), and
+        only unchanged/changed pops consume (:705-745). Rows past the
+        budget-th consume are never popped (`not_popped`, reported
+        separately); a row popping after its host consumed `cap` pages is
+        a `domain_skip` regardless of its own classification.
         """
         from navi_spark.operators.pagerank import pagerank
 
@@ -694,6 +702,18 @@ class CrawlEngine:
         cap = cfg.max_pages_per_domain
         old = self.pages()
 
+        web_cols = [
+            "url",
+            F.col("image_id").alias("new_image_id"),
+            F.col("children").alias("new_children_raw"),
+        ]
+        # server validator behavior travels WITH the web table (an
+        # `honors_304` column); absent column = every server honors
+        # validators, the reference's implicit assumption
+        # (WebCrawler.java:680-699). The engine stays universe-agnostic.
+        has_honors = "honors_304" in self.web.columns
+        if has_honors:
+            web_cols.append("honors_304")
         re_f = (
             old.select(
                 "url", "depth", "rank", "host", "wave_id",
@@ -701,14 +721,7 @@ class CrawlEngine:
                 F.col("caption").alias("old_caption"),
                 F.col("children").alias("old_children"),
             )
-            .join(
-                self.web.select(
-                    "url",
-                    F.col("image_id").alias("new_image_id"),
-                    F.col("children").alias("new_children_raw"),
-                ),
-                "url", "left",
-            )
+            .join(self.web.select(*web_cols), "url", "left")
             .join(
                 self.images.select(
                     F.col("image_id").alias("new_image_id"),
@@ -722,11 +735,9 @@ class CrawlEngine:
             re_f = re_f.withColumn("robots_allowed", F.lit(True))
         else:
             re_f = filter_allowed(re_f, self.rules).drop("crawl_delay_s")
-        # synthetic-server validator support (datagen.host_supports_validators)
-        honors_304 = F.coalesce(
-            F.regexp_extract("host", r"^host(\d+)\.test$", 1).cast("int")
-            % 4 != 1,
-            F.lit(True),
+        honors_304 = (
+            F.coalesce(F.col("honors_304"), F.lit(True))
+            if has_honors else F.lit(True)
         )
         fetch_ok = F.col("new_phash").isNotNull()
         same_payload = (
@@ -740,29 +751,77 @@ class CrawlEngine:
             .when(F.col("new_phash") == F.col("old_phash"), "unchanged")
             .otherwise(F.lit("changed"))
         )
-        lab = re_f.withColumn("status", status).localCheckpoint(eager=True)
-
-        consuming = lab.filter(F.col("status").isin("unchanged", "changed"))
-        wcap = Window.partitionBy("host").orderBy(F.desc("rank"), "url")
-        capped = (
-            consuming.withColumn("_rn", F.row_number().over(wcap))
-            .filter(F.col("_rn") <= cap).drop("_rn")
+        # per-host consuming prefix count in pop order: a consuming row is
+        # cap-eligible iff fewer than `cap` consuming rows of its host pop
+        # before it (only cap-eligible rows increment the reference's
+        # domainPageCounts, and they form a prefix of the host's consuming
+        # rows, so the two prefix counts agree up to `cap`)
+        consuming = F.col("status").isin("unchanged", "changed")
+        w_host = (
+            Window.partitionBy("host").orderBy(F.desc("rank"), "url")
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-        consumed = (
-            capped.orderBy(F.desc("rank"), "url").limit(budget)
+        lab = (
+            re_f.withColumn("status", status)
+            .withColumn(
+                "_host_consuming_before",
+                F.coalesce(
+                    F.sum(F.when(consuming, 1)).over(w_host), F.lit(0)
+                ),
+            )
+            .withColumn(
+                "_cap_eligible",
+                consuming & (F.col("_host_consuming_before") < cap),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = consumed.filter(F.col("status") == "changed").withColumn(
-            "children",
-            F.when(
-                F.col("depth") < cfg.max_depth,
-                normalize_children(F.col("new_children_raw")),
-            ).otherwise(F.array().cast("array<string>")),
-        ).withColumn(
-            "link_structure_changed",
-            ~(F.col("children") == F.col("old_children")),
-        ).localCheckpoint(eager=True)
 
+        # the consumed set: first `budget` cap-eligible rows in global pop
+        # order — distributed TakeOrdered, never a single-partition window
+        consumed = (
+            lab.filter(F.col("_cap_eligible"))
+            .orderBy(F.desc("rank"), "url").limit(budget)
+            .withColumn(
+                "children",
+                F.when(
+                    (F.col("status") == "changed")
+                    & (F.col("depth") < cfg.max_depth),
+                    normalize_children(F.col("new_children_raw")),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+            .withColumn(
+                "link_structure_changed",
+                (F.col("status") == "changed")
+                & ~(F.col("children") == F.col("old_children")),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # ONE aggregation of the (checkpointed, ≤ budget rows) consumed set
+        # yields every consumed-side stat plus the budget boundary — the
+        # (-rank, url) max is the latest pop position, i.e. the budget-th
+        # consume; rows popping after it were never popped at all
+        brow = consumed.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
+            .alias("n_changed"),
+            F.sum(F.when(F.col("link_structure_changed"), 1).otherwise(0))
+            .alias("n_struct"),
+            F.max(F.struct((-F.col("rank")).alias("nr"),
+                           F.col("url").alias("u"))).alias("b"),
+        ).collect()[0]
+        n_consumed = int(brow["n"] or 0)
+        n_changed = int(brow["n_changed"] or 0)
+        n_struct = int(brow["n_struct"] or 0)
+        if n_consumed >= budget and brow["b"] is not None:
+            b_rank, b_url = -brow["b"]["nr"], brow["b"]["u"]
+            popped = (F.col("rank") > F.lit(b_rank)) | (
+                (F.col("rank") == F.lit(b_rank))
+                & (F.col("url") <= F.lit(b_url))
+            )
+        else:
+            popped = F.lit(True)  # budget never exhausted: every row pops
+
+        changed = consumed.filter(F.col("status") == "changed")
         merge_src = changed.select(
             "url",
             F.col("new_image_id").alias("image_id"),
@@ -774,7 +833,6 @@ class CrawlEngine:
         )
         self.t["pages"].merge_upsert(merge_src, "url", {"op": "recrawl"})
 
-        n_struct = changed.filter(F.col("link_structure_changed")).count()
         if n_struct > 0:
             # :571-580 — calculatePageRank writes into the docs' rank field
             pr = pagerank(self.pages(), pagerank_iterations)
@@ -788,18 +846,27 @@ class CrawlEngine:
                 repaged.localCheckpoint(eager=True), {"op": "recrawl-rank"}
             )
 
+        # ONE aggregation of the checkpointed labeled set yields the exact
+        # pop-outcome telemetry (no per-stat rescans of the pages table)
+        pop_status = (
+            F.when(~popped, "not_popped")
+            .when(F.col("_host_consuming_before") >= cap, "domain_skip")
+            .otherwise(F.col("status"))
+        )
         status_counts = {
-            r["status"]: r["n"]
-            for r in lab.groupBy("status").agg(F.count("*").alias("n"))
-            .collect()
+            r["s"]: r["n"]
+            for r in lab.groupBy(pop_status.alias("s"))
+            .agg(F.count("*").alias("n")).collect()
         }
+        not_popped = status_counts.pop("not_popped", 0)
         stats = {
-            "reloaded": old.count(),
-            "consumed": consumed.count(),
-            "changed": changed.count(),
+            "reloaded": sum(status_counts.values()) + not_popped,
+            "consumed": n_consumed,
+            "changed": n_changed,
             "link_structure_changed": n_struct,
             "pagerank_recomputed": n_struct > 0,
             "statuses": status_counts,
+            "not_popped": not_popped,
         }
         # state commit = the checkpoint barrier (same machinery as wave():
         # a crash between the MERGE and here rolls pages back on resume)
