@@ -1,0 +1,210 @@
+"""Per-stage scaling evidence for the full wave-scheduling job.
+
+The full-job scaling efficiency (BENCH/BASELINE.md) bundles every stage
+into one wall number; this harness attributes the scaling loss to stages.
+It runs the IDENTICAL full job (fixed 64+64 partitions) in a fresh
+taskset-bound JVM at local[N] and local[4N], reads per-stage wall /
+executorRunTime / shuffle rows+bytes from the Spark REST API (stages
+created after warmup only), aligns stages across levels by name+order,
+and reports per-stage speedups.
+
+A stage whose 4N wall ≈ N wall while its executorRunTime is unchanged is
+the non-scaling residual; if those stages are shuffle-machinery bound
+(high shuffle bytes, low CPU), the full-job efficiency floor is a
+single-JVM/host artifact, not a plan defect — the exculpation VERDICT r03
+asks for. Conversely a stage with scaling CPU but flat wall indicates a
+plan serialization worth fixing.
+
+Usage:
+  python scripts/stage_scaling.py pair [n_urls] [N]   # one interleaved
+        sample at N and 4N, append to BENCH/stage_scaling.jsonl
+  python scripts/stage_scaling.py report [N]          # align + summarize
+        → BENCH/STAGE_SCALING.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUNS = os.path.join(REPO, "BENCH", "stage_scaling.jsonl")
+
+CHILD = r"""
+import json, sys, time, urllib.request
+sys.path.insert(0, sys.argv[3])
+from pyspark.sql import SparkSession
+from bench import frontier_throughput
+cpus = int(sys.argv[1]); n_urls = int(sys.argv[2])
+spark = (
+    SparkSession.builder.master(f"local[{cpus}]")
+    .appName("navi-stage-scaling")
+    .config("spark.sql.shuffle.partitions", "64")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    .config("spark.local.dir", "/dev/shm/spark-local")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.driver.memory", "12g")
+    .config("spark.driver.extraJavaOptions",
+            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus}")
+    .config("spark.ui.enabled", "true")
+    .config("spark.ui.port", str(4041 + cpus))
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+# same two-step warmup as bench_scaling (codegen/JIT + python-worker forks)
+frontier_throughput(spark, 50000, 100)
+frontier_throughput(spark, 1000000, 2000)
+ui = spark.sparkContext.uiWebUrl
+app = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))[0]["id"]
+def stages():
+    return json.load(urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app}/stages?status=complete"))
+before = {s["stageId"] for s in stages()}
+r = frontier_throughput(spark, n_urls, max(n_urls // 500, 10))
+rows = []
+for s in stages():
+    if s["stageId"] in before:
+        continue
+    rows.append({
+        "stageId": s["stageId"],
+        "name": s["name"].split("\n")[0][:70],
+        "tasks": s["numCompleteTasks"],
+        "submission": s.get("firstTaskLaunchedTime") or s.get("submissionTime"),
+        "completion": s.get("completionTime"),
+        "run_ms": s.get("executorRunTime", 0),
+        "cpu_ms": int(s.get("executorCpuTime", 0) / 1e6),
+        "sh_r_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+        "sh_w_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+        "sh_r_rows": s.get("shuffleReadRecords", 0),
+        "sh_w_rows": s.get("shuffleWriteRecords", 0),
+        "in_rows": s.get("inputRecords", 0),
+        "out_rows": s.get("outputRecords", 0),
+    })
+rows.sort(key=lambda x: x["stageId"])
+print("RESULT " + json.dumps({"cpus": cpus, "n_urls": n_urls,
+                              "wall_sec": r["wall_sec"], "stages": rows}))
+spark.stop()
+"""
+
+
+def _ts(s: str | None) -> float | None:
+    if not s:
+        return None
+    return datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%fGMT").timestamp()
+
+
+def run_at(cpus: int, n_urls: int) -> dict:
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, "-c", CHILD, str(cpus), str(n_urls), REPO],
+        capture_output=True, text=True, timeout=1800, cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"child failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+def main_pair() -> None:
+    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    os.makedirs(os.path.dirname(RUNS), exist_ok=True)
+    with open(RUNS, "a") as f:
+        for cpus in (n, 4 * n):
+            r = run_at(cpus, n_urls)
+            f.write(json.dumps(r) + "\n")
+            f.flush()
+            print({"cpus": cpus, "wall": r["wall_sec"],
+                   "stages": len(r["stages"])}, flush=True)
+
+
+def _stage_wall(s: dict) -> float:
+    a, b = _ts(s.get("submission")), _ts(s.get("completion"))
+    return round(b - a, 3) if a and b else 0.0
+
+
+def _align(lo_stages: list, hi_stages: list) -> list:
+    """Match stages across levels by (name, occurrence index)."""
+    def keyed(stages):
+        seen: dict[str, int] = {}
+        out = {}
+        for s in stages:
+            k = (s["name"], seen.get(s["name"], 0))
+            seen[s["name"]] = seen.get(s["name"], 0) + 1
+            out[k] = s
+        return out
+
+    lo_k, hi_k = keyed(lo_stages), keyed(hi_stages)
+    rows = []
+    for k in lo_k:
+        if k not in hi_k:
+            continue
+        a, b = lo_k[k], hi_k[k]
+        wa, wb = _stage_wall(a), _stage_wall(b)
+        rows.append({
+            "name": k[0], "occ": k[1],
+            "wall_lo": wa, "wall_hi": wb,
+            "speedup": round(wa / wb, 2) if wb else None,
+            "run_ms_lo": a["run_ms"], "run_ms_hi": b["run_ms"],
+            "cpu_ms_lo": a["cpu_ms"], "cpu_ms_hi": b["cpu_ms"],
+            "sh_rows": max(a["sh_r_rows"], a["sh_w_rows"]),
+            "sh_mb": max(a["sh_r_mb"], a["sh_w_mb"]),
+            "tasks": a["tasks"],
+        })
+    rows.sort(key=lambda r: -r["wall_lo"])
+    return rows
+
+
+def main_report() -> None:
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    recs = [json.loads(ln) for ln in open(RUNS)]
+    lo = [r for r in recs if r["cpus"] == n]
+    hi = [r for r in recs if r["cpus"] == 4 * n]
+    if not lo or not hi:
+        print("need at least one sample at each level")
+        sys.exit(1)
+    blo = min(lo, key=lambda r: r["wall_sec"])
+    bhi = min(hi, key=lambda r: r["wall_sec"])
+    rows = _align(blo["stages"], bhi["stages"])
+    path = os.path.join(REPO, "BENCH", "STAGE_SCALING.md")
+    with open(path, "w") as f:
+        f.write(
+            f"# Per-stage scaling: full wave job, local[{n}] vs "
+            f"local[{4 * n}]\n\n"
+            f"Best interleaved samples (of {len(lo)}/{len(hi)}): full-job "
+            f"wall {blo['wall_sec']}s → {bhi['wall_sec']}s (speedup "
+            f"{round(blo['wall_sec'] / bhi['wall_sec'], 2)}×, efficiency "
+            f"{round(blo['wall_sec'] / bhi['wall_sec'] / 4, 3)}) at "
+            f"{blo['n_urls']:,} URLs.\n\n"
+            "Stage wall = first-task-launch → completion. A stage with\n"
+            "speedup ≈ 1 and flat executorRunTime is the non-scaling\n"
+            "residual; high sh_rows/sh_mb there pins it on shuffle\n"
+            "machinery rather than the plan.\n\n"
+            "| stage | wall N | wall 4N | speedup | runtime N ms | "
+            "runtime 4N ms | cpu N ms | shuffle rows | shuffle MB | tasks |\n"
+            "|---|---|---|---|---|---|---|---|---|---|\n"
+        )
+        for r in rows:
+            f.write(
+                f"| {r['name'][:48]} #{r['occ']} | {r['wall_lo']} | "
+                f"{r['wall_hi']} | {r['speedup']} | {r['run_ms_lo']} | "
+                f"{r['run_ms_hi']} | {r['cpu_ms_lo']} | {r['sh_rows']} | "
+                f"{r['sh_mb']} | {r['tasks']} |\n"
+            )
+    print(json.dumps(rows[:12], indent=2))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "pair"
+    if mode == "report":
+        main_report()
+    else:
+        main_pair()
