@@ -411,7 +411,12 @@ class CrawlEngine:
         # single-partition window
         k = min(remaining_global, cfg.wave_budget)
         pool = sel.unionByName(deep)
-        attempts = pool.orderBy("rank", "url").limit(k)
+        # checkpoint the ≤ wave_budget attempt set: it anchors the fetch
+        # joins below (whose broadcast pruning sets would otherwise
+        # re-evaluate the whole scheduling pipeline) and cuts lineage
+        attempts = (
+            pool.orderBy("rank", "url").limit(k).localCheckpoint(eager=True)
+        )
 
         # ---- 5-8. ONE labeled attempt pass: depth quirk (C6) → robots
         # (C10-C12) → fetch+validate (C13) → language (C14) → in-wave phash
@@ -423,8 +428,24 @@ class CrawlEngine:
             att = attempts.withColumn("robots_allowed", F.lit(True))
         else:
             att = filter_allowed(attempts, self.rules).drop("crawl_delay_s")
-        att = att.join(self.web, on="url", how="left")
-        att = att.join(self.images, on="image_id", how="left")
+        # C13 fetch join, scalable form: `attempts` is wave_budget-bounded
+        # (the driver-owned BATCH_SIZE analog, WebCrawler.java:29), so the
+        # synthetic web/image stores are first pruned to the attempted
+        # keys with a BROADCAST SEMI join — the unbounded store sides then
+        # never shuffle. Measured at 300k urls these two store exchanges
+        # were the wave's largest by far (46 of 57 shuffle-write MB);
+        # semantically this is the "fetch only what you attempt" contract
+        # a real fetcher has for free. The pruned slivers (≤ wave_budget
+        # rows) then join left — AQE broadcasts them at runtime.
+        web_hit = self.web.join(
+            F.broadcast(attempts.select("url")), on="url", how="left_semi"
+        )
+        att = att.join(web_hit, on="url", how="left")
+        img_hit = self.images.join(
+            F.broadcast(att.select("image_id")), on="image_id",
+            how="left_semi",
+        )
+        att = att.join(img_hit, on="image_id", how="left")
         ok_fetch = (
             F.col("robots_allowed")
             & (F.col("depth") <= cfg.max_depth)

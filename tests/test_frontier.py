@@ -368,11 +368,14 @@ def test_wave_spark_job_count_bounded(spark, universe):
         tracker = sc._jsc.sc().statusTracker()  # noqa: SLF001
         ids = tracker.getJobIdsForGroup("wave-jobcount")
         n_jobs = len(list(ids))
-        # measured composition: 9 table-commit writes + 2 local
-        # checkpoints + isEmpty + lineage collect + frontier count + ~5
-        # broadcast builds + the bloom cogroup = 24; the guard trips if
-        # per-stage stats counts creep back in (round 1 had ~15 of them)
-        assert 0 < n_jobs <= 25, f"wave launched {n_jobs} Spark jobs"
+        # measured composition: 9 table-commit writes + 3 local
+        # checkpoints (labeled, frontier, attempts) + isEmpty + lineage
+        # collect + frontier count + ~8 broadcast builds (incl. the two
+        # store-pruning semi-join sets that eliminated the wave's largest
+        # exchanges) + the bloom cogroup = 30; all are small fixed driver
+        # round-trips, none scale with data. The guard trips if per-stage
+        # stats counts creep back in (round 1 had ~15 of them).
+        assert 0 < n_jobs <= 32, f"wave launched {n_jobs} Spark jobs"
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
