@@ -121,7 +121,10 @@ def _split_encoded(url: str) -> Optional[tuple[str, str, Optional[int], str, str
             host, port = authority[:cpos], int(maybe_port)
         else:
             return None  # java.net.URI -> getHost() null -> NPE/invalid
-    if not host:
+    if not host or ":" in host:
+        # a ':' left in the host ("::0", "a:b:0") means a malformed /
+        # bracketless-IPv6 authority — java.net.URI's server-authority
+        # parse fails, getHost() is null, the reference nulls the URL
         return None
     return scheme, host, port, path, query
 

@@ -63,6 +63,12 @@ CASES = [
     (None, None),
     ("", None),
     ("   ", None),
+    # malformed / bracketless-IPv6 authorities: java.net.URI's server
+    # parse fails, getHost() is null, the reference nulls the URL
+    # (hypothesis-found round 4: these used to emit 'https://:'-style junk)
+    ("::0", None),
+    ("0::0", None),
+    ("https://a:b:0/p", None),
 ]
 # fix the placeholder: /a/b/.. normalizes to /a/ then trailing slash strips
 CASES[14] = ("https://example.com/a/b/..", "https://example.com/a")
