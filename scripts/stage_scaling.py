@@ -50,6 +50,10 @@ spark = (
     .config("spark.driver.memory", "12g")
     .config("spark.driver.extraJavaOptions",
             f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus}")
+    # match bench.build_session: tmpfs shuffle dirs make block compression
+    # pure CPU overhead (see BENCH/BASELINE.md round-4 addendum)
+    .config("spark.shuffle.compress", "false")
+    .config("spark.shuffle.spill.compress", "false")
     .config("spark.ui.enabled", "true")
     .config("spark.ui.port", str(4041 + cpus))
     .config("spark.sql.session.timeZone", "UTC")
@@ -200,28 +204,22 @@ def main_report() -> None:
             )
         big = [r for r in rows if r["wall_lo"] >= 1.0]
         f.write(
-            "\n## Reading the table (measured decomposition)\n\n"
-            "* The wall is dominated by the MAP stage (dirty-URL datagen → "
-            "Arrow-batched canonicalization UDF → map-side partial dedup → "
-            "shuffle write of the unique urls). Its executorRunTime "
-            "INFLATES at 4N while its JVM cpu_ms stays flat — the task "
-            "time is python-worker-bound, and co-resident shuffle-write "
-            "machinery in the same JVM caps aggregate python throughput.\n"
-            "* Cross-calibration, same host & protocol: a plain "
-            "multiprocessing CPU burn scales 3.92×/4 going 4→16 procs; "
-            "the isolated map KERNEL (identical python work, no shuffle "
-            "write — bench_scaling.py `kernel`) scales ≥ 0.8; the same "
-            "kernel + shuffle write (this map stage) drops to ~2.5×/4; "
-            "the shuffle-read/final-agg/join stage drops to ~1.9×/4 with "
-            "its JVM cpu_ms per unit work roughly DOUBLING at 16 threads.\n"
-            "* Conclusion: the full-job efficiency floor sits in "
-            "single-JVM shuffle machinery contending with the python "
-            "workers — not in the plan (no stage shows scaling cpu with "
-            "flat wall, the signature of a serialized plan step). On a "
-            "real multi-executor cluster the shuffle write/read spreads "
-            "across JVMs and hosts; the single-JVM local-mode proxy "
-            "bundles it onto the same heap and memory bus as the "
-            "kernel.\n\n"
+            "\n## Reading the table\n\n"
+            "* Config matches bench.build_session, including "
+            "`spark.shuffle.compress=false` (tmpfs shuffle dirs — see "
+            "the BENCH/BASELINE.md round-4 addendum).\n"
+            "* This instrument DIAGNOSED the round-3 efficiency floor: "
+            "with compression ON (archive: "
+            "BENCH/stage_scaling_compress_on.jsonl) the map stage "
+            "(python canonicalization + shuffle write) scaled 2.51×/4 "
+            "with executorRunTime inflating 259→384 s and the "
+            "read/agg stage 1.94×/4 with JVM cpu DOUBLING — lz4 CPU "
+            "contending with the python workers. With compression off "
+            "the map stage scales ~3.5×/4 and the inflation is gone; "
+            "full-job efficiency moved 0.522 → 0.857 under the "
+            "bench_scaling 5-pair protocol.\n"
+            "* A stage showing scaling cpu with flat wall would be a "
+            "serialized plan step — none does, at either config.\n\n"
             f"Top stages ≥1s at local[{n}]: "
             f"{[(r['name'][:28], r['wall_lo'], r['speedup']) for r in big]}\n"
         )
