@@ -103,3 +103,60 @@ def test_vectorized_matches_py(spark):
         "https://h7.test/anything": True,
         "https://nohost.test/x": True,
     }
+
+
+# ---------------------------------------------------------------------------
+# property: the compiled-regex matcher vs an independent naive matcher
+# ---------------------------------------------------------------------------
+
+def _naive_wildcard_found(pattern: str, text: str) -> bool:
+    """From-scratch substring wildcard search ('*' matches any run,
+    everything else literal — including regex metachars like '$', '.').
+    Equivalent existence semantics to searching the '.*'-joined escaped
+    regex: find the literal parts left-to-right, the first part anywhere."""
+    parts = pattern.split("*")
+    pos = 0
+    for k, part in enumerate(parts):
+        if part == "":
+            continue
+        i = text.find(part, pos)
+        if i < 0:
+            return False
+        if k == 0 and pos == 0:
+            # the first literal part may start anywhere (substring search)
+            pass
+        pos = i + len(part)
+    return True
+
+
+def _naive_is_allowed(path: str, parsed) -> bool:
+    ordered = sorted(parsed, key=lambda dp: -len(dp[1]))
+    for directive, pattern in ordered:
+        if _naive_wildcard_found(pattern, path):
+            return directive == "allow"
+    return True
+
+
+def test_matcher_vs_naive_property():
+    """Hypothesis: on random rule sets (wildcards + regex metachars as
+    literals) and random paths, the compiled matcher agrees with the
+    independent naive implementation — guards the escape/compile/ordering
+    logic against regex-metachar and wildcard-boundary mistakes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from navi_spark.operators.robots import is_allowed_py
+
+    pat = st.text(alphabet="ab/$.*+[(", min_size=1, max_size=8)
+    rule = st.tuples(st.sampled_from(["allow", "disallow"]), pat)
+    pathchars = st.text(alphabet="ab/$.+[(", min_size=0, max_size=12)
+
+    @given(st.lists(rule, max_size=6), pathchars)
+    @settings(max_examples=400, deadline=None)
+    def check(rules, path):
+        url = "https://h.test/" + path
+        want = _naive_is_allowed("/" + path, rules)
+        got = is_allowed_py(url, rules)
+        assert got == want, (rules, path)
+
+    check()
