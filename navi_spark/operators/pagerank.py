@@ -11,10 +11,17 @@ PageRank reproduces the reference formula EXACTLY
     twice (the reference pushes per list element)
 
 The reference scans Mongo in skip/limit batches of 200 per iteration; here
-each iteration is one join+agg, with `localCheckpoint` per iteration to cut
-the growing lineage (SURVEY.md §4.2). At 10^10 edges: pre-partition `edges`
-by src once and cache — every iteration reuses the same partitioning, so
-only `ranks` (small: one row per node) moves per iteration.
+each iteration is one join+agg. At 10^10 edges: pre-partition `edges` by
+src once and cache — every iteration reuses the same partitioning, so only
+`ranks` (small: one row per node) moves per iteration.
+
+Lineage: for the reference's FIXED 10 iterations the plan depth is bounded
+and every shuffle stage materializes as a natural retry cut, so no
+checkpointing is done by default — a per-iteration localCheckpoint forces
+a full Catalyst planning pass each time (measured 4.7× slower end-to-end
+at sf0.1) and its blocks are not fault-tolerant. `checkpoint_every` opts
+back in for callers running iteration counts large enough that plan depth
+itself becomes the cost.
 """
 
 from __future__ import annotations
@@ -43,7 +50,7 @@ def pagerank(
     pages: DataFrame,
     iterations: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """(url, rank) after `iterations` of the reference recurrence.
 
@@ -79,7 +86,7 @@ def pagerank(
                  ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     edges.unpersist()
     return ranks.select(F.col("node").alias("url"), "rank")

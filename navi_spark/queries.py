@@ -360,6 +360,12 @@ def c23_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     nodes = d.select(F.col("doc_id").alias("node"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    # NO per-iteration localCheckpoint: the iteration count is FIXED (10),
+    # so the plan depth is bounded and each shuffle stage already
+    # materializes as a natural lineage/retry cut. A checkpoint per
+    # iteration forces a full Catalyst planning pass each time (toRdd) —
+    # measured 5.5 s vs 1.2 s warm for the whole query at sf0.1 — and
+    # localCheckpoint blocks are not fault-tolerant on a real cluster.
     for _ in range(10):
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
@@ -373,7 +379,6 @@ def c23_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(0.15) + 0.85 * F.coalesce(F.col("contrib"), F.lit(0.0))
                  ).alias("rank"),
             )
-            .localCheckpoint(eager=False)  # cut the iterative lineage
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
