@@ -772,28 +772,52 @@ class CrawlEngine:
             .when(F.col("new_phash") == F.col("old_phash"), "unchanged")
             .otherwise(F.lit("changed"))
         )
-        # per-host consuming prefix count in pop order: a consuming row is
+        # per-host domain-cap boundary in pop order: a consuming row is
         # cap-eligible iff fewer than `cap` consuming rows of its host pop
         # before it (only cap-eligible rows increment the reference's
         # domainPageCounts, and they form a prefix of the host's consuming
-        # rows, so the two prefix counts agree up to `cap`)
+        # rows, so the two prefix counts agree up to `cap`). Instead of a
+        # per-host prefix-sum window over ALL reloaded rows (a hot host with
+        # many stored pages would serialize into one straggler task), derive
+        # the cap-th consuming pop per host with the wave's two-level salted
+        # top-cap over the CONSUMING rows only, then broadcast that bounded
+        # boundary list (≤ consuming-rows/cap hosts): any row popping
+        # strictly after its host's boundary has ≥ cap consuming pops
+        # before it, any row at-or-before has < cap.
         consuming = F.col("status").isin("unchanged", "changed")
-        w_host = (
-            Window.partitionBy("host").orderBy(F.desc("rank"), "url")
-            .rowsBetween(Window.unboundedPreceding, -1)
+        # checkpoint the labeled set ONCE so the store-side joins behind it
+        # run a single scan — both the boundary derivation and the final
+        # broadcast join read the materialized rows, not the join tree
+        labeled = re_f.withColumn("status", status).localCheckpoint(eager=True)
+        cons = labeled.filter(consuming).select("host", "rank", "url")
+        salted = cons.withColumn(
+            "_salt", F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets))
+        )
+        w1 = Window.partitionBy("host", "_salt").orderBy(F.desc("rank"), "url")
+        pre = (
+            salted.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= cap)
+        )
+        w2 = Window.partitionBy("host").orderBy(F.desc("rank"), "url")
+        boundary = (
+            pre.withColumn("_cr", F.row_number().over(w2))
+            .filter(F.col("_cr") == cap)
+            .select(
+                "host",
+                F.col("rank").alias("_b_rank"),
+                F.col("url").alias("_b_url"),
+            )
+        )
+        after_cap = F.col("_b_rank").isNotNull() & (
+            (F.col("rank") < F.col("_b_rank"))
+            | ((F.col("rank") == F.col("_b_rank"))
+               & (F.col("url") > F.col("_b_url")))
         )
         lab = (
-            re_f.withColumn("status", status)
-            .withColumn(
-                "_host_consuming_before",
-                F.coalesce(
-                    F.sum(F.when(consuming, 1)).over(w_host), F.lit(0)
-                ),
-            )
-            .withColumn(
-                "_cap_eligible",
-                consuming & (F.col("_host_consuming_before") < cap),
-            )
+            labeled.join(F.broadcast(boundary), "host", "left")
+            .withColumn("_after_cap", after_cap)
+            .withColumn("_cap_eligible", consuming & ~F.col("_after_cap"))
+            .drop("_b_rank", "_b_url")
             .localCheckpoint(eager=True)
         )
 
@@ -833,7 +857,13 @@ class CrawlEngine:
         n_consumed = int(brow["n"] or 0)
         n_changed = int(brow["n_changed"] or 0)
         n_struct = int(brow["n_struct"] or 0)
-        if n_consumed >= budget and brow["b"] is not None:
+        if budget <= 0:
+            # degenerate config (max_pages=0): the reference checks budget
+            # BEFORE the first pop (:590-594), so nothing ever pops — without
+            # this guard the empty consumed set (b null) would fall through
+            # to "every row pops" and misreport reloaded rows as popped
+            popped = F.lit(False)
+        elif n_consumed >= budget and brow["b"] is not None:
             b_rank, b_url = -brow["b"]["nr"], brow["b"]["u"]
             popped = (F.col("rank") > F.lit(b_rank)) | (
                 (F.col("rank") == F.lit(b_rank))
@@ -871,7 +901,7 @@ class CrawlEngine:
         # pop-outcome telemetry (no per-stat rescans of the pages table)
         pop_status = (
             F.when(~popped, "not_popped")
-            .when(F.col("_host_consuming_before") >= cap, "domain_skip")
+            .when(F.col("_after_cap"), "domain_skip")
             .otherwise(F.col("status"))
         )
         status_counts = {

@@ -405,12 +405,16 @@ def test_recrawl_spark_job_count_bounded(spark, universe):
         tracker = sc._jsc.sc().statusTracker()  # noqa: SLF001
         ids = tracker.getJobIdsForGroup("recrawl-jobcount")
         n_jobs = len(list(ids))
-        # measured composition (14): 2 localCheckpoints + consumed agg +
-        # statuses agg + merge read/write + state commit + broadcast
-        # builds for the web/images/rules joins. The guard trips if
-        # per-stat rescans (the 3 old count() jobs + the statuses groupBy
-        # over un-checkpointed lineage ≈ +4) creep back in.
-        assert 0 < n_jobs <= 15, f"recrawl launched {n_jobs} Spark jobs"
+        # measured composition (16): 3 localCheckpoints (labeled / lab /
+        # consumed) + the bounded cap-boundary broadcast build + consumed
+        # agg + statuses agg + merge read/write + state commit + broadcast
+        # builds for the web/images/rules joins. (+2 vs round 4: the salted
+        # cap-boundary replaced the all-rows per-host window — one extra
+        # checkpoint keeps the store joins single-scan, one job builds the
+        # ≤ consuming/cap boundary broadcast.) The guard trips if per-stat
+        # rescans (the 3 old count() jobs + the statuses groupBy over
+        # un-checkpointed lineage ≈ +4) creep back in.
+        assert 0 < n_jobs <= 16, f"recrawl launched {n_jobs} Spark jobs"
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -646,6 +650,34 @@ def test_recrawl_no_drift_is_all_refunds(spark, universe):
             (r["url"], r["phash"], r["rank"]) for r in eng.pages().collect()
         )
         assert after == before
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_recrawl_zero_budget_pops_nothing(spark, universe):
+    """Degenerate config (ADVICE r04): max_pages=0 — the reference checks
+    budget BEFORE the first pop (WebCrawler.java:590-594), so every
+    reloaded row is not_popped, nothing consumes, pages untouched."""
+    workdir = tempfile.mkdtemp(prefix="navi-recrawl-zb-")
+    try:
+        eng, seeds = _mk_engine(spark, universe, workdir)
+        eng.bootstrap(seeds)
+        eng.run(max_waves=30)
+        before = sorted(
+            (r["url"], r["phash"], r["rank"]) for r in eng.pages().collect()
+        )
+        web_v1 = _recrawl_universe(spark, N_URLS, N_HOSTS, version=1)
+        stats = eng.recrawl(web=web_v1, max_pages=0)
+        assert stats["consumed"] == 0
+        assert stats["changed"] == 0
+        assert stats["statuses"] == {}
+        assert stats["not_popped"] == stats["reloaded"] == len(before)
+        assert not stats["pagerank_recomputed"]
+        after = sorted(
+            (r["url"], r["phash"], r["rank"]) for r in eng.pages().collect()
+        )
+        assert after == before
+        web_v1.unpersist()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
