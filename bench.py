@@ -135,12 +135,21 @@ def frontier_throughput(
     # window so no single task ever owns a whole hot host.
     cap = 10_000
     # one tiny aggregation drives BOTH the hot-host split and the budget
-    # threshold: |selected| = Σ min(n_h, cap) exactly, so no second pass
-    # (round-1's persist+count+approxQuantile over the survivors cost two
-    # extra full materializations and erased the window savings)
-    host_rows = new.groupBy("host").agg(F.count("*").alias("_n")).collect()
-    hot_set = [r["host"] for r in host_rows if r["_n"] > cap]
-    r_total = sum(min(r["_n"], cap) for r in host_rows)
+    # threshold — and collects a BOUNDED result: hot hosts (> cap rows,
+    # ≤ n_urls/cap of them) come back one row each, every under-cap host
+    # folds into the single null-key row, and Σ min(n_h, cap) = r_total
+    # arrives as the sum of the _m column. The design-point discipline is
+    # the engine's own (frontier.py politeness_open_rows broadcasts only
+    # the at-cap list): the host relation is unbounded at 10^10 URLs, so
+    # the bench must never materialize one row per host on the driver.
+    host_stats = (
+        new.groupBy("host").agg(F.count("*").alias("_n"))
+        .groupBy(F.when(F.col("_n") > cap, F.col("host")).alias("_hot"))
+        .agg(F.sum(F.least(F.col("_n"), F.lit(cap))).alias("_m"))
+        .collect()
+    )
+    hot_set = [r["_hot"] for r in host_stats if r["_hot"] is not None]
+    r_total = sum(r["_m"] for r in host_stats)
     if hot_set:
         # a handful of Zipf-hot hosts → literal isin predicate; with an
         # adversarially large hot set this becomes a broadcast semi-join,
@@ -196,6 +205,126 @@ def frontier_throughput(
     }
 
 
+# Committed reference wall for the calibration job below, measured as the
+# min over an interleaved session at local[32] on this sandbox during a
+# known-good window. A run whose calibration deviates >1.5× is sampling a
+# host slow window — its absolute walls are NOT comparable across rounds
+# (round-4 lesson: the driver's 9.87 s frontier headline vs 3.09 s
+# same-code same-session was exactly such a window).
+# Measured 2026-08-17 via scripts/calibrate_ref.py, three sessions minutes
+# apart: mins 0.925 / 1.830 / 1.003 — the 1.83 session IS a detected slow
+# window (the probe's purpose). Reference = quiet-window floor.
+CALIBRATION_REF_SEC = 0.93
+
+
+def calibration(spark: SparkSession, reps: int = 3) -> list[float]:
+    """Fixed-size pure-CPU probe: a whole-stage-codegen xxhash64 chain over
+    a literal range — no shuffle, no python workers, no I/O — so its wall
+    depends only on the host's current CPU availability. Emitting it next
+    to every headline number makes each bench JSON self-diagnosing."""
+    walls = []
+    h = F.col("id")
+    for _ in range(24):  # deep chain: per-row work dominates task overhead
+        h = F.xxhash64(h)
+
+    def probe():
+        # a FRESH DataFrame per rep: re-collecting the same object replays
+        # the materialized AQE result (~0.1 s) instead of re-executing
+        # (measured 6.4 s for the real job at 1B rows)
+        return (
+            spark.range(0, 128_000_000, 1, 64)
+            .select(h.alias("h"))
+            .agg(F.max("h").alias("m"))
+        )
+
+    probe().collect()  # untimed JIT warmup
+    for _ in range(reps):
+        t0 = time.monotonic()
+        probe().collect()
+        walls.append(round(time.monotonic() - t0, 3))
+    return walls
+
+
+def recrawl_throughput(spark: SparkSession) -> dict:
+    """C21 headline: crawl a synthetic universe (untimed setup), then time
+    one full recrawl of the crawled store against a DRIFTED web — reload →
+    conditional GET classify → domain cap → MERGE changed pages → PageRank
+    recompute (link structures changed). Reported as pages reconciled/sec.
+    The job count is recorded and bounded: the no-drift discipline guard is
+    16 (tests/test_frontier.py); drift adds the MERGE of changed rows and
+    the bounded 10-iteration PageRank loop on top."""
+    import shutil
+    import tempfile
+
+    from navi_spark.operators.frontier import CrawlConfig, CrawlEngine
+    from navi_spark.sources.datagen import (
+        generate_images,
+        generate_robots,
+        generate_seeds,
+        generate_web,
+    )
+
+    n_urls, n_hosts = 40_000, 80
+    workdir = tempfile.mkdtemp(prefix="navi-bench-recrawl-", dir="/dev/shm")
+    try:
+        web = generate_web(spark, n_urls, n_hosts)
+        images = generate_images(spark, n_urls)
+        robots = generate_robots(spark, n_hosts)
+        seeds = generate_seeds(100, n_urls, n_hosts)
+        eng = CrawlEngine(
+            spark, workdir, web, images, robots,
+            CrawlConfig(max_pages=20_000, max_pages_per_domain=400,
+                        wave_budget=5_000),
+        )
+        eng.bootstrap(seeds)
+        eng.run()
+        n_pages = eng.pages().count()
+        web_v1 = generate_web(spark, n_urls, n_hosts, version=1).cache()
+        web_v1.count()  # drifted web materialized outside the timed span
+        sc = spark.sparkContext
+        tracker = sc._jsc.sc().statusTracker()  # noqa: SLF001
+        sc.setJobGroup("bench-recrawl", "timed drifted recrawl")
+        t0 = time.monotonic()
+        stats = eng.recrawl(web=web_v1)
+        wall = time.monotonic() - t0
+        sc.setJobGroup(None, None)
+        n_jobs = len(list(tracker.getJobIdsForGroup("bench-recrawl")))
+        # measured 55: 16 (no-drift discipline bound) + the changed-rows
+        # MERGE + the bounded 10-iteration PageRank recompute + the rank
+        # snapshot overwrite, each fanned out by AQE query stages. Bounded
+        # by construction; trips if per-stat rescans creep back in.
+        assert 0 < n_jobs <= 60, f"drifted recrawl launched {n_jobs} jobs"
+        # second sweep against the SAME web: everything now unchanged — the
+        # pure freshness-check pass, which must hold the strict no-drift
+        # job discipline (tests/test_frontier.py guard = 16)
+        sc.setJobGroup("bench-recrawl-nd", "timed no-drift recrawl")
+        t0 = time.monotonic()
+        eng.recrawl(web=web_v1)
+        wall_nd = time.monotonic() - t0
+        sc.setJobGroup(None, None)
+        n_jobs_nd = len(list(tracker.getJobIdsForGroup("bench-recrawl-nd")))
+        # 16 with AQE off (the pytest guard's condition); AQE's per-query-
+        # stage jobs lift the same work to a measured 21 here
+        assert 0 < n_jobs_nd <= 24, (
+            f"no-drift recrawl launched {n_jobs_nd} jobs"
+        )
+        web_v1.unpersist()
+        return {
+            "pages": n_pages,
+            "consumed": stats["consumed"],
+            "changed": stats["changed"],
+            "pagerank_recomputed": stats["pagerank_recomputed"],
+            "wall_sec": round(wall, 3),
+            "pages_per_sec": round(n_pages / wall, 1),
+            "n_jobs": n_jobs,
+            "nodrift_wall_sec": round(wall_nd, 3),
+            "nodrift_pages_per_sec": round(n_pages / wall_nd, 1),
+            "n_jobs_nodrift": n_jobs_nd,
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     spark = build_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -212,21 +341,26 @@ def main() -> None:
     # first timed rep paying compilation, wasting one of the min() samples.
     frontier_throughput(spark, 20_000, 50)
     frontier_throughput(spark, N_URLS, N_HOSTS)
-    fr = min(
-        (frontier_throughput(spark, N_URLS, N_HOSTS) for _ in range(5)),
-        key=lambda r: r["wall_sec"],
-    )
+    calib_pre = calibration(spark)
+    fr_samples = [frontier_throughput(spark, N_URLS, N_HOSTS)
+                  for _ in range(5)]
+    fr = min(fr_samples, key=lambda r: r["wall_sec"])
+    samples: dict[str, list[float]] = {
+        "frontier": [s["wall_sec"] for s in fr_samples],
+        "calibration_pre": calib_pre,
+    }
 
     qtimes: dict[str, float] = {}
     registry = {**q.queries(), **xq.queries()}
     for name in HEADLINE_QUERIES:
         fn = registry[name]
-        best = float("inf")
+        walls = []
         for _rep in range(2):  # report steady-state (min of 2)
             t0 = time.monotonic()
             fn(spark, SF_DIR).count()
-            best = min(best, time.monotonic() - t0)
-        qtimes[name] = round(best, 3)
+            walls.append(round(time.monotonic() - t0, 3))
+        qtimes[name] = min(walls)
+        samples[name] = walls
 
     # end-to-end search latency (the reference's headline: ~0.5 s/query on
     # a 6k-doc corpus, README.md:96). Index built once OUTSIDE the timed
@@ -251,7 +385,17 @@ def main() -> None:
 
     phrase_idx = build_phrase_index(pages, "url", list(fields.values()))
     n_docs = pages.count()
+    # indexing throughput: the reference indexes ~10 docs/s (BASELINE.md) —
+    # time the full postings + field-length build over the whole corpus so
+    # the comparison is explicit, not implied by the i3/i5 query times
+    t0 = time.monotonic()
     postings.count(), lengths.count()
+    index_wall = time.monotonic() - t0
+    indexing = {
+        "docs": n_docs,
+        "wall_sec": round(index_wall, 3),
+        "docs_per_sec": round(n_docs / index_wall, 1),
+    }
     phrase_idx.pairs.count(), phrase_idx.word_df.count()
     for qname, qtext in (("search_terms", "spark merge window"),
                          ("search_phrase", '"hash join"')):
@@ -262,15 +406,30 @@ def main() -> None:
         # protocol sampling host noise
         search_e2e(qtext, pages, postings, lengths, fields, n_docs,
                    k=10, phrase_index=phrase_idx)
-        best = float("inf")
+        walls = []
         for _rep in range(5):
             t0 = time.monotonic()
             search_e2e(qtext, pages, postings, lengths, fields, n_docs,
                        k=10, phrase_index=phrase_idx)
-            best = min(best, time.monotonic() - t0)
-        qtimes[qname] = round(best, 3)
+            walls.append(round(time.monotonic() - t0, 3))
+        qtimes[qname] = min(walls)
+        samples[qname] = walls
     pages.unpersist(), postings.unpersist(), lengths.unpersist()
     phrase_idx.pairs.unpersist(), phrase_idx.word_df.unpersist()
+
+    recrawl = recrawl_throughput(spark)
+    qtimes["c21_recrawl_drift"] = recrawl["wall_sec"]
+    calib_post = calibration(spark, reps=2)
+    samples["calibration_post"] = calib_post
+    calib_min = min(calib_pre + calib_post)
+    if CPUS == 32 and calib_min > 1.5 * CALIBRATION_REF_SEC:
+        print(
+            f"[bench] WARNING: calibration {calib_min:.2f}s is "
+            f">{1.5:.1f}x the committed reference {CALIBRATION_REF_SEC}s — "
+            "this run sampled a host slow window; absolute walls are not "
+            "comparable across rounds (relative A/B within this run is)",
+            file=sys.stderr,
+        )
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
@@ -280,7 +439,25 @@ def main() -> None:
         "queries": qtimes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "frontier": fr,
+        "recrawl": recrawl,
+        "indexing": indexing,
         "parallelism": CPUS,
+        # every archived number self-describes its window and its config:
+        # `samples` exposes the full noise envelope behind each min,
+        # `calibration_*` pin the host's CPU window against the committed
+        # reference, and `config` tags the measurement hygiene knobs so
+        # cross-round comparisons never silently mix configs
+        "samples": samples,
+        "calibration_sec": calib_min,
+        "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "config": {
+            "shuffle_compress": False,
+            "spill_compress": False,
+            "local_dir_tmpfs": True,
+            "aqe_coalesce": False,
+            "driver_memory": "12g",
+            "gc": "parallel",
+        },
     }
     print(json.dumps(out))
     spark.stop()
