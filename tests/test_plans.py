@@ -221,7 +221,10 @@ def test_registry_covers_survey_ops_with_no_certification_window():
     names = list(q.queries())
     assert len(names) == 50
     assert not hasattr(q, "_DRIVER_PRIORITY")  # the window hack stays dead
-    # one strongest row per SURVEY op family, all inside the certified set
+    # one row per SURVEY op family across the two registries; rows rotate
+    # between them round-to-round (VERDICT r04 item 4) so every alternate
+    # eventually rides the driver gate, but the 50-row export stays exact
+    both = names + list(xq.queries())
     survey_codes = {
         # crawler: C1/C2/C10/C11/C13/C18-C20/C22/C24 are certified through
         # the composed rows (crawl_engine_e2e, c21_recrawl_e2e,
@@ -233,19 +236,20 @@ def test_registry_covers_survey_ops_with_no_certification_window():
         "r14_", "q4_",
     }
     for code in survey_codes:
-        assert any(n.startswith(code) for n in names), f"missing {code}"
+        assert any(n.startswith(code) for n in both), f"missing {code}"
     for family in ("crawl_wave_schedule", "crawl_engine_e2e",
                    "dedup_", "sim_", "mm_", "text_", "stream_", "ev_"):
         assert any(n.startswith(family) for n in names), f"missing {family}"
-    # the round-3 additions are inside the certified surface (ADVICE r03)
+    # the round-3/5 rotations are inside the certified surface
     assert "r10_phrase_scan" in names and "text_langid" in names
+    assert "i5_field_pivot" in names and "tpch_q3_shipping_priority" in names
     # every extra is a redundant alternate of a certified family
     alternates = set(xq.queries())
     assert alternates == {
         "c21_recrawl_order", "c21_recrawl_changes",   # ⊂ c21_recrawl_e2e
         "r3_bm25f_fields", "r3_bm25f_overwrite_parity",  # R3 quirk twins
-        "i5_field_pivot",                             # I5 ⊂ i5_posting_tf
         "q4_suggestions",                             # ⊂ q4_suggestions_insert
         "ev_hourly_rollup",                           # ⊂ stream_hourly_rollup
-        "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",  # demos
+        "tpch_q1_pricing_summary",                    # demo
+        "r13_doc_count", "r14_ordered_multiget",      # rotated out r05
     }, alternates
