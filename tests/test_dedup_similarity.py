@@ -46,6 +46,43 @@ def test_shingles_match_python(docs_df):
         assert counts.get(i, 0) == len(_py_shingles(text, 3)), i
 
 
+def test_shingles_window_equals_join_form(spark, docs_df):
+    """The no-shuffle sliding-window shingle builder is row-identical to
+    the positional-join form on single-spaced text (the corpus contract),
+    for several n."""
+    for n in (2, 3, 4):
+        a = {(r["id"], r["shingle_hash"])
+             for r in dedup.shingles_df(docs_df, "id", "text", n=n).collect()}
+        b = {(r["id"], r["shingle_hash"])
+             for r in dedup.shingles_window_df(
+                 docs_df, "id", "text", n=n).collect()}
+        assert a == b, f"n={n}"
+    # short/empty docs produce no shingles, not errors
+    edge = spark.createDataFrame(
+        [(0, "one two"), (1, ""), (2, "   "), (3, "a. b! c?")],
+        "id long, text string",
+    )
+    rows = dedup.shingles_window_df(edge, "id", "text", n=3).collect()
+    assert {r["id"] for r in rows} == {3}  # only "a b c" has 3 words
+
+
+def test_minhash_corpus_path_single_exchange(spark, docs_df):
+    """The corpus-scale minhash plan: docs pre-partitioned by id →
+    sliding-window shingles → distinct → k-min aggregate. Catalyst must
+    elide every exchange after the explicit repartition (HashPartitioning
+    on id satisfies both the distinct's and the groupBy's clustering by
+    the subset rule) — one shuffle of the raw docs total."""
+    pre = docs_df.repartition(4, "id")
+    sh = dedup.shingles_window_df(pre, "id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, k=8)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, plan
+    # and the plan still computes the right thing
+    sig_map = {r["id"]: tuple(r["sig"]) for r in sigs.collect()}
+    assert sig_map[0] == sig_map[3]
+
+
 def test_ngram_jaccard(docs_df):
     sh = dedup.shingles_df(docs_df, "id", "text", n=3).cache()
     pairs = {
