@@ -485,3 +485,59 @@ def generate_video(spark: SparkSession, n: int, parts: int | None = None) -> Dat
 
     rng = spark.range(n, numPartitions=parts) if parts else spark.range(n)
     return rng.mapInPandas(gen, VIDEO_SCHEMA)
+
+
+def generate_documents(
+    spark: SparkSession,
+    n_docs: int,
+    vocab: int = 50_000,
+    parts: int | None = None,
+    dup_every: int = 10,
+) -> DataFrame:
+    """Synthetic corpus for the dedup/ANN scale harness: ``(doc_id, text)``.
+
+    Deterministic per doc_id (splitmix64 over (base_id, pos), vectorized
+    in numpy per Arrow batch). Every ``dup_every``-th doc
+    (i % dup_every == dup_every-1) is a near-duplicate of doc i-1 — the
+    same word sequence with exactly one substituted word — planting one
+    high-Jaccard pair per window (J ≈ (S-n)/(S+n) for S shingles of width
+    n; ~0.84 at the default 20-50 words, n=3). Word ids are skew-drawn
+    (u² over ``vocab``) so boilerplate shingles and hot LSH buckets occur
+    like a real crawl corpus.
+    """
+    M1 = np.uint64(0xBF58476D1CE4E5B9)
+    M2 = np.uint64(0x94D049BB133111EB)
+    M3 = np.uint64(0x9E3779B97F4A7C15)
+    _DIGITS2AZ = str.maketrans("0123456789", "abcdefghij")
+
+    def _mix(x):
+        x = (x ^ (x >> np.uint64(30))) * M1
+        x = (x ^ (x >> np.uint64(27))) * M2
+        return x ^ (x >> np.uint64(31))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].to_numpy().astype(np.int64)
+            if dup_every:
+                is_dup = ids % dup_every == dup_every - 1
+            else:
+                is_dup = np.zeros(len(ids), dtype=bool)
+            base = np.where(is_dup, ids - 1, ids).astype(np.uint64)
+            ln = 20 + (_mix(base * M3) % np.uint64(31)).astype(np.int64)
+            texts = []
+            for r in range(len(ids)):
+                length = int(ln[r])
+                pos = np.arange(length, dtype=np.uint64)
+                h = _mix(base[r] * M3 + pos + np.uint64(1))
+                u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+                w = (u * u * vocab).astype(np.int64)
+                if is_dup[r]:
+                    p = int(ids[r]) % length
+                    w[p] = (w[p] + 1) % vocab
+                # letters only: the shingle tokenizer strips [^a-z\s], so a
+                # digit-bearing token like "w38487" would collapse to "w"
+                texts.append(" ".join(str(x).translate(_DIGITS2AZ) for x in w))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    rng = spark.range(n_docs, numPartitions=parts) if parts else spark.range(n_docs)
+    return rng.mapInPandas(gen, "doc_id long, text string")

@@ -18,21 +18,97 @@ from __future__ import annotations
 
 from typing import Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SEEN_OUT_SCHEMA = "host_partition int, url string, url_hash long"
-SEEN_STATE_SCHEMA = "hashes array<long>"
+SEEN_STATE_SCHEMA = "hashes array<long>, bloom binary, n_items long"
 
 
-def streaming_seen_filter(urls: DataFrame, n_partitions: int = 16) -> DataFrame:
+def _dedupe_keys(
+    state_tuple: tuple | None,
+    keys: "np.ndarray",
+    swap_threshold: int,
+    capacity: int,
+    fpp: float,
+) -> tuple["np.ndarray", tuple]:
+    """Pure per-group seen-filter transition: (state, batch keys) →
+    (first-seen mask, new state). State is (hashes, bloom, n_items):
+
+    * exact mode (bloom is None): `hashes` is the full 64-bit hash list —
+      bit-exact dedup, state linear in seen URLs.
+    * bloom mode: once the exact list would exceed `swap_threshold`, the
+      whole set converts to a FIXED-SIZE bloom blob sized for `capacity`
+      items at `fpp` (operators/bloom.py sizing); from then on state size
+      is constant no matter how many URLs stream through. A bloom has no
+      false negatives for inserted keys, so a duplicate is NEVER
+      re-emitted (append-exactness preserved); a false positive drops a
+      genuinely-new URL with P ≤ fpp — the engine's batch reconciliation
+      (the exact `seen` anti-join, C9) remains the arbiter of record, the
+      stream is its bounded-loss pre-filter. Production sizing: capacity =
+      expected per-partition URLs (10^10/P), the same math as the batch
+      bloom pre-filter table.
+
+    Within-batch duplicates dedupe exactly in both modes (first
+    occurrence wins, vectorized first-index selection)."""
+    from navi_spark.operators.bloom import bloom_add, bloom_maybe, bloom_new, sizing
+
+    keys = keys.astype(np.int64)
+    # within-batch first-occurrence mask (stable): unique returns the first
+    # index of each value in the sorted-unique order
+    _, first_idx = np.unique(keys, return_index=True)
+    first_mask = np.zeros(len(keys), dtype=bool)
+    first_mask[first_idx] = True
+
+    m_bits, k_hashes = sizing(capacity, fpp)
+    if state_tuple is None:
+        hashes, blob, n_items = [], None, 0
+    else:
+        hashes, blob, n_items = state_tuple
+        blob = bytes(blob) if blob is not None else None
+
+    if blob is None:
+        seen = (np.array(hashes, dtype=np.int64)
+                if hashes is not None and len(hashes)
+                else np.empty(0, dtype=np.int64))
+        new_mask = ~np.isin(keys, seen) & first_mask
+        all_seen = np.union1d(seen, keys[new_mask])
+        n_items = len(all_seen)
+        if n_items > swap_threshold:
+            blob = bloom_add(
+                bloom_new(m_bits), all_seen.view(np.uint64), k_hashes
+            )
+            return new_mask, (None, blob, n_items)
+        return new_mask, (all_seen.tolist(), None, n_items)
+
+    maybe = bloom_maybe(blob, keys.view(np.uint64), k_hashes)
+    new_mask = (~maybe) & first_mask
+    fresh = keys[new_mask]
+    if len(fresh):
+        blob = bloom_add(blob, fresh.view(np.uint64), k_hashes)
+        n_items += len(fresh)
+    return new_mask, (None, blob, n_items)
+
+
+def streaming_seen_filter(
+    urls: DataFrame,
+    n_partitions: int = 16,
+    swap_threshold: int = 250_000,
+    capacity: int = 16_000_000,
+    fpp: float = 1e-5,
+) -> DataFrame:
     """Emit only first-seen URLs from a stream; per-host-partition state.
 
-    State is the array of url hashes seen so far in that partition (exact,
-    like the engine's `seen` table; swap the array for a serialized bloom
-    blob at 10^10 scale — same GroupState plumbing)."""
+    State starts as the exact array of url hashes (bit-exact like the
+    engine's `seen` table) and swaps to a fixed-size bloom blob once the
+    partition has seen more than `swap_threshold` URLs, bounding state at
+    sizing(capacity, fpp) bits per partition forever after — sublinear
+    (constant) in seen URLs. See `_dedupe_keys` for the exactness
+    contract; tests/test_streaming.py drives both modes across forced
+    micro-batches and pins state-size behavior."""
     keyed = urls.select(
         F.pmod(F.xxhash64("url"), F.lit(n_partitions)).cast("int")
         .alias("host_partition"),
@@ -45,16 +121,16 @@ def streaming_seen_filter(urls: DataFrame, n_partitions: int = 16) -> DataFrame:
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        seen = set(state.get[0]) if state.exists else set()
-        out = []
+        st = tuple(state.get) if state.exists else None
         for b in batches:
-            for url, h in zip(b["url"], b["url_hash"]):
-                h = int(h)
-                if h not in seen:
-                    seen.add(h)
-                    out.append((key[0], url, h))
-        state.update((list(seen),))
-        yield pd.DataFrame(out, columns=["host_partition", "url", "url_hash"])
+            keys = b["url_hash"].to_numpy()
+            if not len(keys):
+                continue
+            mask, st = _dedupe_keys(st, keys, swap_threshold, capacity, fpp)
+            out = b.loc[mask, ["url", "url_hash"]].copy()
+            out.insert(0, "host_partition", key[0])
+            yield out
+        state.update(st if st is not None else ([], None, 0))
 
     return keyed.groupBy("host_partition").applyInPandasWithState(
         dedupe,

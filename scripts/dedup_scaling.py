@@ -1,0 +1,316 @@
+"""Scaling-efficiency evidence for the dedup/ANN family (VERDICT r04 #3).
+
+The frontier has a scaling protocol, a per-stage table and a 10x point;
+this harness gives the near-dup pipeline the same treatment. The measured
+job is the full corpus near-dup path on synthetic documents with planted
+near-duplicates (datagen.generate_documents):
+
+    docs (parquet, pre-generated once)
+      -> repartition(64, doc_id)           [the ONLY full-data shuffle]
+      -> shingles_window_df (n=3)          [narrow; distinct elided]
+      -> persist + count                   [materialize shingle table]
+      -> minhash_signatures (k=32)         [groupBy exchange elided]
+      -> minhash_lsh_pairs (b=8, r=4)      [band explode + bucket join]
+      -> ngram_jaccard_pairs (verify, candidates-driven)
+      -> count
+
+Protocol is identical to scripts/bench_scaling.py: no real cluster in
+this sandbox, so the north rule's two-cluster-size criterion is evidenced
+by the IDENTICAL job (fixed 64 partitions, identical config, same input
+parquet) at local[N] vs local[4N], taskset-bound fresh JVM per run,
+in-JVM warmup, INTERLEAVED samples, min per level. Per-stage wall / CPU /
+shuffle bytes come from the Spark REST API (stages created after warmup
+only) for stage-level attribution of any efficiency shortfall.
+
+Usage:
+  python scripts/dedup_scaling.py gen [n_docs]         # write the corpus
+        parquet to /dev/shm (once; both levels read the same bytes)
+  python scripts/dedup_scaling.py pair [n_docs] [N]    # one interleaved
+        N/4N sample -> append BENCH/dedup_scaling.jsonl
+  python scripts/dedup_scaling.py report [N]           # aggregate minima
+        -> BENCH/DEDUP_SCALING.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUNS = os.path.join(REPO, "BENCH", "dedup_scaling.jsonl")
+
+
+def docs_path(n_docs: int) -> str:
+    return f"/dev/shm/navi-dedup-docs-{n_docs}.parquet"
+
+
+GEN_CHILD = r"""
+import sys
+sys.path.insert(0, sys.argv[3])
+from bench import build_session
+from navi_spark.sources.datagen import generate_documents
+n_docs = int(sys.argv[1]); path = sys.argv[2]
+spark = build_session(32)
+spark.sparkContext.setLogLevel("ERROR")
+generate_documents(spark, n_docs, parts=64).write.mode("overwrite").parquet(path)
+print("GEN_OK", spark.read.parquet(path).count())
+spark.stop()
+"""
+
+CHILD = r"""
+import json, sys, time, urllib.request
+sys.path.insert(0, sys.argv[4])
+from pyspark.sql import SparkSession
+from navi_spark.operators import dedup
+from navi_spark.sources.datagen import generate_documents
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); path = sys.argv[3]
+spark = (
+    SparkSession.builder.master(f"local[{cpus}]")
+    .appName("navi-dedup-scaling")
+    .config("spark.sql.shuffle.partitions", "64")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    .config("spark.local.dir", "/dev/shm/spark-local")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.driver.memory", "12g")
+    .config("spark.driver.extraJavaOptions",
+            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus}")
+    .config("spark.shuffle.compress", "false")
+    .config("spark.shuffle.spill.compress", "false")
+    .config("spark.ui.enabled", "true")
+    .config("spark.ui.port", str(4141 + cpus))
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+def pipeline(docs):
+    pre = docs.repartition(64, "doc_id")
+    sh = dedup.shingles_window_df(pre, "doc_id", "text", n=3).persist()
+    n_sh = sh.count()
+    sigs = dedup.minhash_signatures(sh, k=32)
+    cand = dedup.minhash_lsh_pairs(sigs, bands=8, rows_per_band=4,
+                                   max_bucket=200)
+    ver = dedup.ngram_jaccard_pairs(sh, threshold=0.7, candidates=cand)
+    n_pairs = ver.count()
+    sh.unpersist()
+    return n_sh, n_pairs
+
+# two-step warmup (inline datagen, NOT the measured parquet): codegen/JIT +
+# python-worker forks to steady state before the timed run at both levels
+pipeline(generate_documents(spark, 20000, parts=64))
+pipeline(generate_documents(spark, 200000, parts=64))
+
+ui = spark.sparkContext.uiWebUrl
+app = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))[0]["id"]
+def stages():
+    return json.load(urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app}/stages?status=complete"))
+before = {s["stageId"] for s in stages()}
+
+docs = spark.read.parquet(path)
+t0 = time.monotonic()
+n_sh, n_pairs = pipeline(docs)
+wall = time.monotonic() - t0
+
+rows = []
+for s in stages():
+    if s["stageId"] in before:
+        continue
+    rows.append({
+        "stageId": s["stageId"],
+        "name": s["name"].split("\n")[0][:70],
+        "tasks": s["numCompleteTasks"],
+        "submission": s.get("firstTaskLaunchedTime") or s.get("submissionTime"),
+        "completion": s.get("completionTime"),
+        "run_ms": s.get("executorRunTime", 0),
+        "cpu_ms": int(s.get("executorCpuTime", 0) / 1e6),
+        "sh_r_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+        "sh_w_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+        "sh_r_rows": s.get("shuffleReadRecords", 0),
+        "sh_w_rows": s.get("shuffleWriteRecords", 0),
+        "in_rows": s.get("inputRecords", 0),
+    })
+rows.sort(key=lambda x: x["stageId"])
+print("RESULT " + json.dumps({
+    "cpus": cpus, "n_docs": n_docs, "wall_sec": round(wall, 3),
+    "docs_per_sec": round(n_docs / wall, 1),
+    "n_shingles": n_sh, "n_pairs": n_pairs, "stages": rows,
+}))
+spark.stop()
+"""
+
+
+def run_at(cpus: int, n_docs: int) -> dict:
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, "-c", CHILD, str(cpus), str(n_docs),
+         docs_path(n_docs), REPO],
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"child failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+def main_gen() -> None:
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    path = docs_path(n_docs)
+    if os.path.exists(path):
+        print(f"exists: {path}")
+        return
+    out = subprocess.run(
+        [sys.executable, "-c", GEN_CHILD, str(n_docs), path, REPO],
+        capture_output=True, text=True, timeout=1800, cwd=REPO,
+    )
+    if "GEN_OK" not in out.stdout:
+        raise RuntimeError(out.stdout[-2000:] + out.stderr[-2000:])
+    print(f"wrote {path}")
+
+
+def main_pair() -> None:
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    os.makedirs(os.path.dirname(RUNS), exist_ok=True)
+    with open(RUNS, "a") as f:
+        for cpus in (n, 4 * n):
+            r = run_at(cpus, n_docs)
+            f.write(json.dumps(r) + "\n")
+            f.flush()
+            print({"cpus": cpus, "wall": r["wall_sec"],
+                   "pairs": r["n_pairs"]}, flush=True)
+
+
+def _ts(s: str | None) -> float | None:
+    if not s:
+        return None
+    return datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%fGMT").timestamp()
+
+
+def _stage_wall(s: dict) -> float:
+    a, b = _ts(s.get("submission")), _ts(s.get("completion"))
+    return round(b - a, 3) if a and b else 0.0
+
+
+def main_report() -> None:
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    rows = [json.loads(ln) for ln in open(RUNS)]
+    lo = [r for r in rows if r["cpus"] == n]
+    hi = [r for r in rows if r["cpus"] == 4 * n]
+    if not lo or not hi:
+        raise SystemExit("need samples at both levels")
+    blo = min(lo, key=lambda r: r["wall_sec"])
+    bhi = min(hi, key=lambda r: r["wall_sec"])
+    # cross-level consistency: identical input -> identical result counts
+    assert {r["n_pairs"] for r in rows} == {blo["n_pairs"]}, "pair drift!"
+    assert {r["n_shingles"] for r in rows} == {blo["n_shingles"]}
+    speedup = round(blo["wall_sec"] / bhi["wall_sec"], 3)
+    eff = round(speedup / 4.0, 3)
+
+    # align best-run stages across levels by (name, order of appearance)
+    def keyed(stages):
+        seen: dict[str, int] = {}
+        out = {}
+        for s in stages:
+            k = (s["name"], seen.get(s["name"], 0))
+            seen[s["name"]] = seen[s["name"]] + 1 if s["name"] in seen else 1
+            out[k] = s
+        return out
+
+    klo, khi = keyed(blo["stages"]), keyed(bhi["stages"])
+    lines = []
+    for k in klo:
+        if k not in khi:
+            continue
+        a, b = klo[k], khi[k]
+        wa, wb = _stage_wall(a), _stage_wall(b)
+        if wa < 0.3:  # skip sub-noise stages
+            continue
+        lines.append({
+            "name": k[0][:44], "tasks": a["tasks"],
+            "lo_wall": wa, "hi_wall": wb,
+            "speedup": round(wa / wb, 2) if wb else float("inf"),
+            "lo_cpu_s": round(a["cpu_ms"] / 1e3, 1),
+            "hi_cpu_s": round(b["cpu_ms"] / 1e3, 1),
+            "sh_w_mb": a["sh_w_mb"], "sh_r_mb": a["sh_r_mb"],
+        })
+    lines.sort(key=lambda x: -x["lo_wall"])
+
+    path = os.path.join(REPO, "BENCH", "DEDUP_SCALING.md")
+    with open(path, "w") as f:
+        f.write(f"""# BENCH/DEDUP_SCALING.md — near-dup pipeline scaling
+
+Job: full corpus near-dup path (shingles_window_df n=3 → persist →
+minhash_signatures k=32 → minhash_lsh_pairs b=8/r=4 → candidate-driven
+ngram_jaccard verify ≥0.7) over {blo['n_docs']:,} synthetic docs with
+planted near-duplicates (datagen.generate_documents, 10% dup rate),
+{blo['n_shingles']:,} distinct shingles, {blo['n_pairs']:,} verified
+pairs (identical at every level/sample — consistency asserted).
+
+Protocol = scripts/bench_scaling.py: identical job + input parquet at
+local[{n}] vs local[{4 * n}], taskset-bound fresh JVM, in-JVM warmup,
+interleaved samples, min per level. Config: 64 shuffle partitions, tmpfs
+shuffle dirs, compression off (self-describing per sample in
+dedup_scaling.jsonl).
+
+## Result (min over {len(lo)}/{len(hi)} interleaved samples)
+
+| level | wall | docs/s |
+|---|---|---|
+| local[{n}] | {blo['wall_sec']} s | {blo['docs_per_sec']:,} |
+| local[{4 * n}] | {bhi['wall_sec']} s | {bhi['docs_per_sec']:,} |
+
+**speedup {speedup}× / 4 → scaling efficiency {eff}**
+
+All walls — local[{n}]: {sorted(r['wall_sec'] for r in lo)},
+local[{4 * n}]: {sorted(r['wall_sec'] for r in hi)}.
+
+## Per-stage attribution (best run at each level)
+
+| stage | tasks | local[{n}] wall | local[{4 * n}] wall | speedup | local[{n}] cpu | local[{4 * n}] cpu | shuf W MB | shuf R MB |
+|---|---|---|---|---|---|---|---|---|
+""")
+        for s in lines:
+            f.write(
+                f"| {s['name']} | {s['tasks']} | {s['lo_wall']} | "
+                f"{s['hi_wall']} | {s['speedup']}× | {s['lo_cpu_s']} | "
+                f"{s['hi_cpu_s']} | {s['sh_w_mb']} | {s['sh_r_mb']} |\n"
+            )
+        f.write(f"""
+## Plan-shape notes (why this scales)
+
+* ONE full-data shuffle: the upfront `repartition(64, doc_id)`. The
+  shingle distinct and the k=32 signature groupBy both run exchange-free
+  on top of it (HashPartitioning(doc_id) satisfies their clustering by
+  the subset rule — pinned by tests/test_plans.py /
+  test_dedup_similarity.py::test_minhash_corpus_path_single_exchange).
+* MinHash is pure 64-bit codegen (seeded xxhash64 re-hash mins), not
+  decimal arithmetic; the shingle table is persisted once and reused by
+  the signature and the two verify joins.
+* The LSH bucket join is bucket-local with a max_bucket skew cap; the
+  verify stage is candidate-pair-driven (no shingle self-join).
+
+Generated by:
+  python scripts/dedup_scaling.py gen {blo['n_docs']}
+  python scripts/dedup_scaling.py pair {blo['n_docs']} {n}   (×S samples)
+  python scripts/dedup_scaling.py report {n}
+""")
+    print(json.dumps({"speedup": speedup, "efficiency": eff,
+                      "lo_wall": blo["wall_sec"], "hi_wall": bhi["wall_sec"]}))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "pair"
+    if mode == "gen":
+        main_gen()
+    elif mode == "report":
+        main_report()
+    else:
+        main_pair()

@@ -55,6 +55,82 @@ def test_streaming_seen_filter_dedups_across_batches(spark, tmpdir):
         q.stop()
 
 
+def test_dedupe_keys_exact_to_bloom_swap():
+    """State transition unit contract: exact below the threshold, one-way
+    swap to a FIXED-SIZE bloom blob above it; duplicates never re-emitted
+    in either mode; state size constant (sublinear in seen URLs) after
+    the swap."""
+    import numpy as np
+
+    from navi_spark.streaming.wave_stream import _dedupe_keys
+
+    rng = np.random.default_rng(7)
+    st = None
+    emitted: set[int] = set()
+    blob_sizes = []
+    kw = dict(swap_threshold=2000, capacity=50_000, fpp=1e-6)
+    for batch_i in range(8):
+        # 1000 new keys + 200 replays of already-seen keys per batch
+        new = rng.integers(-(2**62), 2**62, 1000, dtype=np.int64)
+        replay = (np.array(sorted(emitted)[:200], dtype=np.int64)
+                  if emitted else np.empty(0, np.int64))
+        keys = np.concatenate([new, replay])
+        mask, st = _dedupe_keys(st, keys, **kw)
+        fresh = {int(k) for k in keys[mask]}
+        assert not (fresh & emitted), "re-emitted a seen key"
+        emitted |= fresh
+        hashes, blob, n_items = st
+        assert n_items == len(emitted)
+        if n_items <= 2000:
+            assert blob is None and len(hashes) == n_items  # exact mode
+        else:
+            assert hashes is None and blob is not None
+            blob_sizes.append(len(blob))
+    # swapped partway through; blob size constant across growth
+    assert len(set(blob_sizes)) == 1 and len(blob_sizes) >= 5
+    # within-batch duplicate dedupes exactly even in bloom mode
+    dup = np.array([123456789, 123456789], dtype=np.int64)
+    mask, st = _dedupe_keys(st, dup, **kw)
+    assert mask.tolist() == [True, False]
+    mask, _ = _dedupe_keys(st, dup[:1], **kw)
+    assert mask.tolist() == [False]  # and never again across batches
+
+
+def test_streaming_seen_filter_bloom_mode_matches_exact(spark, tmpdir):
+    """End-to-end across forced micro-batches with a swap threshold the
+    FIRST batch exceeds: the bloom-state stream must emit exactly the
+    first-seen set (fpp sized so no false positive occurs at test scale —
+    deterministic hashes make this stable), reconciling bit-exact with
+    the batch path."""
+    in_dir = f"{tmpdir}/in"
+    ckpt = f"{tmpdir}/ckpt"
+    urls1 = [(f"https://h{i % 7}.test/p{i}",) for i in range(3000)]
+    spark.createDataFrame(urls1, "url string").write.parquet(in_dir)
+    stream = spark.readStream.schema("url string").parquet(in_dir)
+    q = (
+        streaming_seen_filter(stream, n_partitions=4, swap_threshold=100,
+                              capacity=20_000, fpp=1e-9)
+        .writeStream.format("memory")
+        .queryName("seen_bloom_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: half replays, half new
+        urls2 = [(f"https://h{i % 7}.test/p{i}",) for i in range(1500, 4500)]
+        spark.createDataFrame(urls2, "url string").write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        got = sorted(
+            r["url"] for r in spark.sql("select url from seen_bloom_out").collect()
+        )
+        want = sorted({u for (u,) in urls1} | {u for (u,) in urls2})
+        assert got == want
+    finally:
+        q.stop()
+
+
 def test_streaming_rollup_matches_batch(spark, sf_dir, tmpdir):
     import shutil as _sh
 
