@@ -100,7 +100,11 @@ def main_pair() -> None:
         for job in ("kernel", "full"):
             for cpus in (n, 4 * n):
                 r = run_at(cpus, n_urls, job)
-                rec = {"job": job, "cpus": cpus, **r}
+                # self-describing config tag (ADVICE r04): bench.build_session
+                # currently ships shuffle compression OFF on tmpfs dirs
+                rec = {"job": job, "cpus": cpus,
+                       "config": {"shuffle_compress": False,
+                                  "local_dir_tmpfs": True}, **r}
                 f.write(json.dumps(rec) + "\n")
                 f.flush()
                 print(rec, flush=True)

@@ -138,7 +138,9 @@ rows.sort(key=lambda x: x["stageId"])
 print("RESULT " + json.dumps({
     "cpus": cpus, "n_docs": n_docs, "wall_sec": round(wall, 3),
     "docs_per_sec": round(n_docs / wall, 1),
-    "n_shingles": n_sh, "n_pairs": n_pairs, "stages": rows,
+    "n_shingles": n_sh, "n_pairs": n_pairs,
+    "config": {"shuffle_compress": False, "local_dir_tmpfs": True},
+    "stages": rows,
 }))
 spark.stop()
 """
