@@ -541,3 +541,42 @@ def generate_documents(
 
     rng = spark.range(n_docs, numPartitions=parts) if parts else spark.range(n_docs)
     return rng.mapInPandas(gen, "doc_id long, text string")
+
+
+def generate_embeddings(
+    spark: SparkSession,
+    n_vecs: int,
+    dim: int = 64,
+    parts: int | None = None,
+) -> DataFrame:
+    """Synthetic embedding table for the ANN throughput harness:
+    ``(vec_id long, embedding array<float>)``.
+
+    Deterministic per (vec_id, component) via splitmix64 — components are
+    uniform in [-1, 1), which is all a cosine-ANN benchmark needs (the
+    pruning math never assumes gaussian-ness). Vectorized numpy per Arrow
+    batch: one (rows x dim) matrix of mixes, no per-row python."""
+    M1 = np.uint64(0xBF58476D1CE4E5B9)
+    M2 = np.uint64(0x94D049BB133111EB)
+    M3 = np.uint64(0x9E3779B97F4A7C15)
+
+    def _mix(x):
+        x = (x ^ (x >> np.uint64(30))) * M1
+        x = (x ^ (x >> np.uint64(27))) * M2
+        return x ^ (x >> np.uint64(31))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].to_numpy().astype(np.uint64)
+            cells = ids[:, None] * np.uint64(dim) + np.arange(
+                dim, dtype=np.uint64
+            )[None, :]
+            h = _mix(cells * M3)
+            u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            m = (2.0 * u - 1.0).astype(np.float32)
+            yield pd.DataFrame(
+                {"vec_id": ids.astype(np.int64), "embedding": list(m)}
+            )
+
+    rng = spark.range(n_vecs, numPartitions=parts) if parts else spark.range(n_vecs)
+    return rng.mapInPandas(gen, "vec_id long, embedding array<float>")
