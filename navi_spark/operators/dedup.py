@@ -166,6 +166,14 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    # ONE explicit (band, bucket) exchange, shared: the sizes aggregate,
+    # the anti-join probe side and BOTH self-join sides all need this
+    # clustering — without the shared node each consumer re-derived and
+    # re-exchanged the exploded bucket table independently (3x the bytes,
+    # and 3x the signature recompute when sigs isn't persisted; measured
+    # 4 x ~576 MB writes at 2M docs). Identical subtree → Spark's
+    # ReusedExchange materializes it once.
+    buckets = buckets.repartition("band", "bucket")
     sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
     ok = buckets.join(
         F.broadcast(sizes.filter(F.col("_n") > max_bucket)),
@@ -195,31 +203,51 @@ def ngram_jaccard_pairs(
     Scale shape — two distinct plans:
 
     * WITH candidates (the 100 TB verify path): the pair list drives the
-      join — shingles attach per candidate pair (join on id_a, then on
-      (id_b, shingle_hash)), so the work is Σ per-pair shingle overlap and
-      a hot boilerplate shingle can never go quadratic in its document
-      frequency. No shingle self-join exists in this plan.
+      join — the shingle table is first semi-join-pruned to candidate ids
+      (pair-bounded, never corpus-bounded), then shingles attach per
+      candidate pair (join on id_a, then on (id_b, shingle_hash)), so the
+      work is Σ per-pair shingle overlap and a hot boilerplate shingle can
+      never go quadratic in its document frequency. No shingle self-join
+      and no full-relation re-shuffle exists in this plan.
     * WITHOUT candidates (exploratory all-pairs): inverted-index self-join
       with a shingle document-frequency cap — shingles with df >
       `max_shingle_df` are dropped from the index (their pairs are
       boilerplate noise and would cost df² rows); the drop count is logged
       eagerly so truncation is never silent.
     """
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     if candidates is not None:
         cand = candidates.select("id_a", "id_b").distinct()
+        # Prune the shingle table to candidate ids BEFORE any wide join:
+        # the candidate id set is bounded by the LSH pair output (pairs,
+        # never corpus), so the pruned table is a sliver of `sh` — without
+        # this the (id_b, shingle_hash) join re-shuffled the ENTIRE
+        # shingle relation (measured 1.85 GB at 2M docs / 66M shingles;
+        # ~0.35 GB pruned). Plain shuffled left-semi joins, deliberately
+        # NOT broadcast: a pathological all-dups corpus makes the id set
+        # corpus-sized, and the semi join is already cheap — `sh` is
+        # hash-partitioned by id on the corpus path, so its side of the
+        # semi exchange is elided and only the small id list moves.
+        ids_a = cand.select(F.col("id_a").alias("id"))
+        ids_b = cand.select(F.col("id_b").alias("id"))
+        sh_a = sh.join(ids_a.distinct(), "id", "left_semi")
+        sh_b = sh.join(ids_b.distinct(), "id", "left_semi")
+        sizes = (
+            sh.join(ids_a.union(ids_b).distinct(), "id", "left_semi")
+            .groupBy("id").agg(F.count("*").alias("n"))
+        )
         inter = (
             cand.join(
-                sh.select(F.col("id").alias("id_a"), "shingle_hash"), "id_a"
+                sh_a.select(F.col("id").alias("id_a"), "shingle_hash"), "id_a"
             )
             .join(
-                sh.select(F.col("id").alias("id_b"), "shingle_hash"),
+                sh_b.select(F.col("id").alias("id_b"), "shingle_hash"),
                 ["id_b", "shingle_hash"],
             )
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("inter"))
         )
     else:
+        sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
         dfreq = sh.groupBy("shingle_hash").agg(F.count("*").alias("_df"))
         hot = dfreq.filter(F.col("_df") > max_shingle_df)
         n_hot = hot.count()

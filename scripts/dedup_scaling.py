@@ -91,12 +91,17 @@ def pipeline(docs):
     pre = docs.repartition(64, "doc_id")
     sh = dedup.shingles_window_df(pre, "doc_id", "text", n=3).persist()
     n_sh = sh.count()
-    sigs = dedup.minhash_signatures(sh, k=32)
+    # persist the signatures: the LSH stage consumes them from several
+    # subtrees (bucket explode for sizes/anti-join/self-join) — without
+    # the persist each consumer re-runs the k=32 aggregate over the full
+    # shingle table (measured as 4 repeated ~45 cpu-s stages at 2M docs)
+    sigs = dedup.minhash_signatures(sh, k=32).persist()
     cand = dedup.minhash_lsh_pairs(sigs, bands=8, rows_per_band=4,
                                    max_bucket=200)
     ver = dedup.ngram_jaccard_pairs(sh, threshold=0.7, candidates=cand)
     n_pairs = ver.count()
     sh.unpersist()
+    sigs.unpersist()
     return n_sh, n_pairs
 
 # two-step warmup (inline datagen, NOT the measured parquet): codegen/JIT +
