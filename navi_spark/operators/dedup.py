@@ -216,7 +216,17 @@ def ngram_jaccard_pairs(
       eagerly so truncation is never silent.
     """
     if candidates is not None:
-        cand = candidates.select("id_a", "id_b").distinct()
+        # materialize the candidate pairs ONCE (eager localCheckpoint, the
+        # engine's standard cut — frontier.py attempts): the pair set is
+        # small (LSH output) but its DAG is the whole signature+LSH
+        # pipeline, and it anchors FOUR consumers below (both id-prune
+        # sides, the sizes prune and the inter join) — left lazy, each
+        # consumer re-ran the LSH join (measured 4.2x the pipeline wall
+        # at 2M docs)
+        cand = (
+            candidates.select("id_a", "id_b").distinct()
+            .localCheckpoint(eager=True)
+        )
         # Prune the shingle table to candidate ids BEFORE any wide join:
         # the candidate id set is bounded by the LSH pair output (pairs,
         # never corpus), so the pruned table is a sliver of `sh` — without
