@@ -259,18 +259,30 @@ def ngram_jaccard_pairs(
     else:
         sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
         dfreq = sh.groupBy("shingle_hash").agg(F.count("*").alias("_df"))
-        hot = dfreq.filter(F.col("_df") > max_shingle_df)
-        n_hot = hot.count()
-        if n_hot:
+        # One scan serves both the never-silent drop log and the anti-join
+        # build side: the hot list is collected once (bounded by
+        # construction: ≤ total_shingles / max_shingle_df rows — the same
+        # bound the broadcast relies on) and fed back as a LOCAL relation,
+        # so execution does not re-derive dfreq a second time. Previously
+        # an eager `hot.count()` scanned `sh` at plan-construction time
+        # purely for the log line and the broadcast scanned it again.
+        hot_vals = [
+            r[0] for r in
+            dfreq.filter(F.col("_df") > max_shingle_df)
+            .select("shingle_hash").collect()
+        ]
+        if hot_vals:
             import logging
 
             logging.getLogger(__name__).warning(
                 "ngram_jaccard_pairs: dropping %d shingles with df > %d "
-                "from the inverted index (boilerplate cap)", n_hot,
+                "from the inverted index (boilerplate cap)", len(hot_vals),
                 max_shingle_df,
             )
-        idx = sh.join(F.broadcast(hot.select("shingle_hash")),
-                      "shingle_hash", "left_anti")
+        hot = sh.sparkSession.createDataFrame(
+            [(v,) for v in hot_vals], "shingle_hash long"
+        )
+        idx = sh.join(F.broadcast(hot), "shingle_hash", "left_anti")
         x = idx.alias("x")
         y = idx.alias("y")
         inter = (
@@ -411,9 +423,10 @@ def embedding_neardup_pairs(
     concentrates near n_bits·θ/π — candidates are pairs within
     `max_hamming` sketch bits (block-local join via
     simhash_neardup_pairs, never all-pairs), then the exact cosine runs
-    only on candidates (JVM-side zip_with/aggregate fold). At 10^10 rows
-    this is the same bucket-join scale shape as the text MinHash path."""
-    from navi_spark.operators.similarity import cosine_expr, srp_signature
+    only on candidates (Arrow-vectorized row-wise einsum — the sketch
+    scan is likewise an Arrow matmul per batch). At 10^10 rows this is
+    the same bucket-join scale shape as the text MinHash path."""
+    from navi_spark.operators.similarity import cosine_pairwise, srp_signature
 
     sims = embeddings.select(
         F.col(id_col).alias("id"),
@@ -433,7 +446,7 @@ def embedding_neardup_pairs(
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("cos_sim", cosine_expr(F.col("_va"), F.col("_vb")))
+        .withColumn("cos_sim", cosine_pairwise(F.col("_va"), F.col("_vb")))
         .filter(F.col("cos_sim") >= tau)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -119,9 +119,8 @@ def ivf_query():
     order = np.argsort(((cents - qv) ** 2).sum(axis=1))
     probes = [int(x) for x in order[:8]]
     cand = emb.withColumn("cell", similarity.ivf_assign(F.col("embedding"), cents)).filter(F.col("cell").isin(probes))
-    q = F.array(*[F.lit(float(x)) for x in q0])
     return (cand.select("vec_id",
-                        similarity.cosine_expr(F.col("embedding").cast("array<double>"), q).alias("cos_sim"))
+                        similarity.cosine_vs_query(F.col("embedding"), q0).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), "vec_id").limit(10).collect())
 res["ivf"] = timed(ivf_query)
 
