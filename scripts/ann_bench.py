@@ -229,11 +229,25 @@ Per-query cost ordering (expected and observed): brute > ivf ≈ lsh
 amortizes scheduling across 64 queries — its per-query cost is
 best-of-table / 64.
 
-Sub-second single-query jobs are scheduling-bound at high core counts
-(few tasks, fixed launch overhead), so per-query efficiency NATURALLY
-trails the big-batch pipelines — the honest scale signal here is
-batched64 (the bulk path a 100 TB corpus uses) plus the absolute
-latencies. All sample walls in ann_bench.jsonl.
+Kernels are the Arrow-vectorized pandas UDFs of similarity.py (one
+numpy/BLAS matmul per ~10k-row batch). Before that rewrite the same
+single-query jobs ran on interpreted higher-order array expressions:
+IVF assignment alone measured ~0.5 ms/row (minutes per 2M-row query)
+and batched64's unpartialed score matrix took 70-234 s — the committed
+kernels are 50-100× faster, which is the headline here.
+
+N=4 matches every other scaling table in BENCH/ (BASELINE.md hygiene:
+a plain multiprocessing burn sustains 3.92× going 4→16 procs on this
+host but only ~1.9× going 8→32 — higher levels measure the
+hypervisor). Few-second single-query jobs remain partly
+scheduling/Arrow-transfer-bound (fixed per-task launch + pickle/Arrow
+overhead does not shrink with cores), so per-query efficiency
+NATURALLY trails the long pipelines (cf. DEDUP_SCALING.md 0.64,
+STAGE_SCALING 0.857) — the honest scale signals here are the absolute
+latencies and batched64 (the bulk path a 100 TB corpus uses; its
+partial-top-k emits batches × queries × k rows, so its shuffle is
+corpus-size-independent). All sample walls in ann_bench.jsonl
+(archive: ann_bench_n8.jsonl, the same job at 8→32).
 
 Generated by: python scripts/ann_bench.py gen/pair/report {n}
 """)
