@@ -245,6 +245,48 @@ def calibration(spark: SparkSession, reps: int = 3) -> list[float]:
     return walls
 
 
+# Quiet-window floor for the shuffle probe below, same protocol as
+# CALIBRATION_REF_SEC (min over fresh sessions during a good window).
+# Round-5 finding that motivates it: the pure-CPU probe read 0.84-0.86 s
+# ("good window") in two sessions 30 min apart while the SAME frontier
+# job measured 4.35 s in one and 8.26 s in the other — the slow window
+# lived in the shuffle machinery (tmpfs writeback / memory bandwidth),
+# which a codegen-only chain never touches. Two probes pin both axes.
+# Measured 2026-08-17, three fresh sessions: shuffle mins 6.77 / 3.37 /
+# 1.665 with cpu probe at 2.53 / 1.20 / 1.38 — all three inside a
+# detected 1.3-2.7x cpu slow window, so 1.665 is an UPPER bound on the
+# quiet floor; refine downward when a ≤1.0x-cpu window is sampled.
+SHUFFLE_CALIBRATION_REF_SEC = 1.66
+
+
+def shuffle_calibration(spark: SparkSession, reps: int = 3) -> list[float]:
+    """Fixed-size shuffle probe: 24M (bigint, bigint) rows through one
+    real 64→64 exchange (~24M shuffled rows, key cardinality 1M so
+    map-side partial agg cannot collapse it) then a hash agg. Same
+    fresh-DataFrame-per-rep discipline as `calibration` (AQE replays a
+    re-collected DF). Its wall tracks the host's current shuffle-path
+    health — the component of frontier/wave walls the CPU probe is blind
+    to."""
+    walls = []
+
+    def probe():
+        return (
+            spark.range(0, 24_000_000, 1, 64)
+            .select(F.pmod(F.col("id"), F.lit(1_000_003)).alias("k"),
+                    F.xxhash64("id").alias("v"))
+            .repartition(64, "k")
+            .groupBy("k").agg(F.max("v").alias("m"))
+            .agg(F.count("*").alias("n"), F.max("m").alias("mm"))
+        )
+
+    probe().collect()  # untimed JIT warmup
+    for _ in range(reps):
+        t0 = time.monotonic()
+        probe().collect()
+        walls.append(round(time.monotonic() - t0, 3))
+    return walls
+
+
 def recrawl_throughput(spark: SparkSession) -> dict:
     """C21 headline: crawl a synthetic universe (untimed setup), then time
     one full recrawl of the crawled store against a DRIFTED web — reload →
@@ -342,12 +384,14 @@ def main() -> None:
     frontier_throughput(spark, 20_000, 50)
     frontier_throughput(spark, N_URLS, N_HOSTS)
     calib_pre = calibration(spark)
+    shcalib_pre = shuffle_calibration(spark)
     fr_samples = [frontier_throughput(spark, N_URLS, N_HOSTS)
                   for _ in range(5)]
     fr = min(fr_samples, key=lambda r: r["wall_sec"])
     samples: dict[str, list[float]] = {
         "frontier": [s["wall_sec"] for s in fr_samples],
         "calibration_pre": calib_pre,
+        "shuffle_calibration_pre": shcalib_pre,
     }
 
     qtimes: dict[str, float] = {}
@@ -420,16 +464,24 @@ def main() -> None:
     recrawl = recrawl_throughput(spark)
     qtimes["c21_recrawl_drift"] = recrawl["wall_sec"]
     calib_post = calibration(spark, reps=2)
+    shcalib_post = shuffle_calibration(spark, reps=2)
     samples["calibration_post"] = calib_post
+    samples["shuffle_calibration_post"] = shcalib_post
     calib_min = min(calib_pre + calib_post)
-    if CPUS == 32 and calib_min > 1.5 * CALIBRATION_REF_SEC:
-        print(
-            f"[bench] WARNING: calibration {calib_min:.2f}s is "
-            f">{1.5:.1f}x the committed reference {CALIBRATION_REF_SEC}s — "
-            "this run sampled a host slow window; absolute walls are not "
-            "comparable across rounds (relative A/B within this run is)",
-            file=sys.stderr,
-        )
+    shcalib_min = min(shcalib_pre + shcalib_post)
+    for label, got, ref in (
+        ("calibration", calib_min, CALIBRATION_REF_SEC),
+        ("shuffle calibration", shcalib_min, SHUFFLE_CALIBRATION_REF_SEC),
+    ):
+        if CPUS == 32 and got > 1.5 * ref:
+            print(
+                f"[bench] WARNING: {label} {got:.2f}s is "
+                f">{1.5:.1f}x the committed reference {ref}s — "
+                "this run sampled a host slow window on that path; "
+                "absolute walls are not comparable across rounds "
+                "(relative A/B within this run is)",
+                file=sys.stderr,
+            )
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
@@ -450,6 +502,8 @@ def main() -> None:
         "samples": samples,
         "calibration_sec": calib_min,
         "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "shuffle_calibration_sec": shcalib_min,
+        "shuffle_calibration_ref_sec": SHUFFLE_CALIBRATION_REF_SEC,
         "config": {
             "shuffle_compress": False,
             "spill_compress": False,
