@@ -37,21 +37,34 @@ def tokens_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle_hash) — distinct word-n-gram xxhash64 per doc.
+    """(id, shingle_hash) — distinct word-n-gram hash per doc.
+
+    The shingle hash is xxhash64 over the TUPLE OF WORD HASHES
+    (xxhash64(xxhash64(w0), …, xxhash64(w{n-1}))), not over the
+    concatenated string: each word is hashed once, and the per-shingle
+    combine is a fixed-width chain of 8-byte long hashes. Measured on the
+    window form (200k docs / 6.6M shingles, local[16]): slice + concat_ws
+    + string-hash per position 3.98 s vs word-hash tuples 1.53 s against
+    a 1.01 s tokenize-only floor — ~5.8× on the shingle-hash component of
+    the dedup pipeline's dominant stage. Hash values stay internal to
+    Spark (every oracle recomputes Jaccard over shingle STRINGS in
+    DuckDB), so the scheme only needs injectivity on the realized shingle
+    set — collision odds ~|shingles|²/2⁶⁴.
 
     Built by self-joining consecutive positions; for large n prefer the
     sliding-window SQL `transform(sequence(...))` form — n≤4 keeps joins
     fine since they are co-partitioned on id."""
     toks = tokens_df(df, id_col, text_col)
-    cur = toks.select("id", "pos", F.col("word").alias("w0"))
+    cur = toks.select("id", "pos", F.xxhash64("word").alias("h0"))
     for i in range(1, n):
         nxt = toks.select(
-            "id", (F.col("pos") - i).alias("pos"), F.col("word").alias(f"w{i}")
+            "id", (F.col("pos") - i).alias("pos"),
+            F.xxhash64("word").alias(f"h{i}"),
         )
         cur = cur.join(nxt, ["id", "pos"])
-    shingle = F.concat_ws(" ", *[f"w{i}" for i in range(n)])
     return cur.select(
-        "id", F.xxhash64(shingle).alias("shingle_hash")
+        "id",
+        F.xxhash64(*[f"h{i}" for i in range(n)]).alias("shingle_hash"),
     ).distinct()
 
 
@@ -84,11 +97,18 @@ def shingles_window_df(
         ),
         "",
     )
-    t = df.select(F.col(id_col).alias("id"), words.alias("_w"))
+    t = df.select(F.col(id_col).alias("id"), words.alias("_w")).withColumn(
+        # hash every word ONCE; the per-position combine below is then a
+        # fixed-width chain of long hashes (same tuple scheme and same
+        # values as shingles_df — parity-pinned). The old per-position
+        # slice+concat_ws+string-hash measured 2.6× the whole stage.
+        "_wh", F.expr("transform(_w, w -> xxhash64(w))")
+    )
+    tuple_args = ", ".join(f"_wh[i{i - 1:+d}]" for i in range(n))
     sh = F.expr(
-        f"CASE WHEN size(_w) >= {n} THEN "
-        f"transform(sequence(1, size(_w) - {n - 1}), "
-        f"i -> xxhash64(concat_ws(' ', slice(_w, i, {n})))) "
+        f"CASE WHEN size(_wh) >= {n} THEN "
+        f"transform(sequence(1, size(_wh) - {n - 1}), "
+        f"i -> xxhash64({tuple_args})) "
         f"ELSE array() END"
     )
     return t.select("id", F.explode(sh).alias("shingle_hash")).distinct()
