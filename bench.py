@@ -252,11 +252,12 @@ def calibration(spark: SparkSession, reps: int = 3) -> list[float]:
 # job measured 4.35 s in one and 8.26 s in the other — the slow window
 # lived in the shuffle machinery (tmpfs writeback / memory bandwidth),
 # which a codegen-only chain never touches. Two probes pin both axes.
-# Measured 2026-08-17, three fresh sessions: shuffle mins 6.77 / 3.37 /
-# 1.665 with cpu probe at 2.53 / 1.20 / 1.38 — all three inside a
-# detected 1.3-2.7x cpu slow window, so 1.665 is an UPPER bound on the
-# quiet floor; refine downward when a ≤1.0x-cpu window is sampled.
-SHUFFLE_CALIBRATION_REF_SEC = 1.66
+# First measured 2026-08-17 in a 1.3-2.7x cpu slow window (mins 6.77 /
+# 3.37 / 1.665 — an upper bound only). Refined later the same day when a
+# genuinely quiet window arrived: two fresh sessions minutes apart read
+# cpu mins 0.859 / 0.895 (≤1.0x of CALIBRATION_REF_SEC) with shuffle
+# mins 0.977 / 1.023 — stable, so the quiet floor is ~0.98.
+SHUFFLE_CALIBRATION_REF_SEC = 0.98
 
 
 def shuffle_calibration(spark: SparkSession, reps: int = 3) -> list[float]:

@@ -298,7 +298,11 @@ the candidate-pruning/persist fixes), dedup_scaling_opt64.jsonl (same
 job at 64 fixed partitions — local[{n}] prefers the lower task count,
 best 108.5 s, while local[{4 * n}] is partition-insensitive; the fixed
 {blo['config'].get('partitions', 64)}-partition pairing is the
-like-for-like cluster analogue and is what the table reports).
+like-for-like cluster analogue and is what the table reports),
+dedup_scaling_r5_prevec.jsonl (same protocol BEFORE the word-hash-tuple
+shingle scheme — best 139.3 / 54.5 s — kept separate because the hash
+change shifts LSH bucket contents and the report asserts identical pair
+counts across all aggregated samples).
 
 ## Per-stage attribution (best run at each level)
 
