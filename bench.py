@@ -430,6 +430,11 @@ def main() -> None:
 
     phrase_idx = build_phrase_index(pages, "url", list(fields.values()))
     n_docs = pages.count()
+    # R4 collection stats are index metadata: computed once at build time
+    # (like the reference's stored index stats), not once per query
+    from navi_spark.operators.ranker import avg_field_lengths
+
+    avgs = avg_field_lengths(lengths, list(fields))
     # indexing throughput: the reference indexes ~10 docs/s (BASELINE.md) —
     # time the full postings + field-length build over the whole corpus so
     # the comparison is explicit, not implied by the i3/i5 query times
@@ -450,12 +455,12 @@ def main() -> None:
         # verified-unchanged plan) was the weaker min-of-3/no-warmup
         # protocol sampling host noise
         search_e2e(qtext, pages, postings, lengths, fields, n_docs,
-                   k=10, phrase_index=phrase_idx)
+                   k=10, phrase_index=phrase_idx, avg_lengths=avgs)
         walls = []
         for _rep in range(5):
             t0 = time.monotonic()
             search_e2e(qtext, pages, postings, lengths, fields, n_docs,
-                       k=10, phrase_index=phrase_idx)
+                       k=10, phrase_index=phrase_idx, avg_lengths=avgs)
             walls.append(round(time.monotonic() - t0, 3))
         qtimes[qname] = min(walls)
         samples[qname] = walls

@@ -56,6 +56,19 @@ def candidate_docs(postings: DataFrame, terms: Sequence[str]) -> DataFrame:
     )
 
 
+def avg_field_lengths(
+    lengths: DataFrame, fields: Sequence[str]
+) -> dict[str, float]:
+    """R4: global average field lengths (totals / N — Ranker.java:305-318).
+
+    One tiny aggregation job; served-index callers run it once at index
+    build time and pass the result to :func:`bm25f` via ``avg_lengths``."""
+    avg_row = lengths.agg(
+        *[F.avg(f"len_{f_}").alias(f_) for f_ in fields]
+    ).collect()[0]
+    return {f_: (avg_row[f_] or 0.0) for f_ in fields}
+
+
 def bm25f(
     postings: DataFrame,
     lengths: DataFrame,
@@ -64,16 +77,22 @@ def bm25f(
     fields: Sequence[str] = ("h1", "h2", "a", "other"),
     weights: dict[str, float] | None = None,
     last_term_overwrite: bool = False,
+    avg_lengths: dict[str, float] | None = None,
 ) -> DataFrame:
     """R3: per-field weighted BM25, summed over fields then over terms.
 
     score(term, doc) = Σ_f w_f · IDF · tf_f(k+1) / (tf_f + k(1−b+b·len_f/avg_f))
-    (Ranker.java:218-283). avg field lengths = global totals / N (R4)."""
+    (Ranker.java:218-283). avg field lengths = global totals / N (R4).
+
+    ``avg_lengths`` lets a served-index caller pass the averages as prebuilt
+    index metadata (see :func:`avg_field_lengths`) instead of paying a
+    per-query aggregation job over the whole lengths table — R4 is a
+    property of the INDEX, not the query, exactly like the collection
+    stats a Lucene/Mongo index stores beside the postings."""
     weights = weights or FIELD_WEIGHTS
-    avg_row = lengths.agg(
-        *[F.avg(f"len_{f_}").alias(f_) for f_ in fields]
-    ).collect()[0]
-    avgs = {f_: (avg_row[f_] or 0.0) for f_ in fields}
+    avgs = avg_lengths if avg_lengths is not None else avg_field_lengths(
+        lengths, fields
+    )
 
     qt = postings.filter(F.col("word").isin(*terms))
     idf_df = idf(postings, n_docs)

@@ -44,11 +44,17 @@ def search(
     snippet_field: str | None = None,
     phrase_index: "ranker.PhraseIndex | None" = None,
     suggestions=None,
+    avg_lengths: dict[str, float] | None = None,
 ) -> list[SearchResult]:
     """`phrase_index`: optional prebuilt ranker.build_phrase_index over the
     same pages/fields — phrase and boolean queries then regex-scan only the
     docs containing the rarest phrase word instead of the whole corpus (the
-    reference always pays the full Mongo collection scan)."""
+    reference always pays the full Mongo collection scan).
+
+    `avg_lengths`: optional prebuilt ranker.avg_field_lengths(lengths, ...)
+    — index metadata, computed once at build time; without it every terms
+    query pays an extra aggregation job over the lengths table (R4 depends
+    only on the index, never on the query)."""
     parsed = parse_query(query, stopwords=set(stopwords))
     if parsed.kind == "invalid":
         return []
@@ -74,7 +80,8 @@ def search(
 
     if parsed.kind == "terms":
         relevance = ranker.bm25f(
-            postings, lengths, parsed.terms, n_docs, fields=fields
+            postings, lengths, parsed.terms, n_docs, fields=fields,
+            avg_lengths=avg_lengths,
         )
     elif parsed.kind == "phrase":
         rx = ranker.phrase_regex(parsed.phrases[0])

@@ -122,6 +122,21 @@ def test_bm25f_last_term_overwrite_bug_parity(index):
     assert fixed["u0"] > buggy["u0"]
 
 
+def test_bm25f_prebuilt_avg_lengths_parity(index):
+    # R4 stats passed as prebuilt index metadata (served-index path) must
+    # produce bit-identical scores to the per-call aggregation default
+    postings, lengths = index
+    fields = ("h1", "h2", "a", "other")
+    avgs = ranker.avg_field_lengths(lengths, fields)
+    live = {r["doc_id"]: r["relevance"] for r in
+            ranker.bm25f(postings, lengths, ["spark", "tables"],
+                         N_DOCS).collect()}
+    pre = {r["doc_id"]: r["relevance"] for r in
+           ranker.bm25f(postings, lengths, ["spark", "tables"], N_DOCS,
+                        avg_lengths=avgs).collect()}
+    assert live == pre
+
+
 def test_hybrid_rank(index, pages_df):
     postings, lengths = index
     rel = ranker.bm25f(postings, lengths, ["tables"], N_DOCS)
