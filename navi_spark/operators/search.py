@@ -104,18 +104,33 @@ def search(
         ).withColumnRenamed("score", "relevance")
 
     ranked = ranker.hybrid_rank(relevance, pages, limit=k)
-    top = ranked.collect()
-    if not top:
-        return []
-    # ordered multi-get (R14): fetch page text for the k ids, keep rank order
-    id_order = {r["doc_id"]: i for i, r in enumerate(top)}
+    # ordered multi-get (R14) fused into the ranking action: join the page
+    # text onto the top-k INSIDE the same plan so one search = one Spark
+    # job instead of a rank job plus a text-fetch job — per-query latency
+    # is job-count-bound at this scale. INNER join with the ≤k-row side
+    # broadcast: an outer join here would force Spark to build the FULL
+    # pages-text relation (the preserved side of an outer BHJ cannot be
+    # broadcast), which is a corpus-sized broadcast/shuffle at scale.
+    # Inner is semantically safe because postings are built from these
+    # pages, so every ranked doc_id has a pages row (the reference's index
+    # rows likewise always reference stored pages).
     text_col = snippet_field or next(iter(field_cols.values()))
-    rows = (
-        pages.filter(F.col("url").isin(*list(id_order)))
-        .select(F.col("url").alias("doc_id"), F.col(text_col).alias("_text"))
+    top = (
+        F.broadcast(ranked)
+        .join(
+            pages.select(
+                F.col("url").alias("doc_id"), F.col(text_col).alias("_text")
+            ),
+            "doc_id",
+        )
         .collect()
     )
-    texts = {r["doc_id"]: r["_text"] for r in rows}
+    if not top:
+        return []
+    # the join does not preserve the rank order — restore it driver-side
+    # over the ≤k collected rows (exact same (score desc, doc_id) key the
+    # TakeOrdered used, so the order is bit-identical to the pre-join sort)
+    top.sort(key=lambda r: (-r["score"], r["doc_id"]))
     toks = (
         parsed.terms
         if parsed.kind == "terms"
@@ -125,7 +140,7 @@ def search(
         SearchResult(
             doc_id=r["doc_id"],
             score=r["score"],
-            snippet=snippet(texts.get(r["doc_id"], "") or "", toks),
+            snippet=snippet(r["_text"] or "", toks),
         )
         for r in top
     ]
