@@ -61,6 +61,15 @@ def run_at(cpus: int, n_urls: int, staging: str, zip_path: str) -> dict:
             "taskset", "-c", f"0-{cpus - 1}",
             SPARK_SUBMIT,
             "--master", f"local[{cpus}]",
+            # driver JVM options MUST be CLI flags here: the builder-config
+            # forms (bench.build_session) only work in-process, where the
+            # gateway launch forwards them — under external spark-submit
+            # the JVM is already up and they are silently ignored. The
+            # first sample batch (archived submit_scaling_defaultjvm.jsonl)
+            # ran on the default 1g G1 heap and measured a systematic
+            # ~1.4x slowdown vs the in-process lane.
+            "--driver-memory", "12g",
+            "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
             "--py-files", f"{zip_path},{os.path.join(REPO, 'bench.py')}",
             job, str(cpus), str(n_urls), REPO,
         ],
@@ -88,7 +97,9 @@ def main_pair() -> None:
                     "lane": "spark-submit --py-files",
                     "cpus": cpus,
                     "config": {"shuffle_compress": False,
-                               "local_dir_tmpfs": True},
+                               "local_dir_tmpfs": True,
+                               "driver_memory": "12g",
+                               "gc": "ParallelGC"},
                     **r,
                 }
                 f.write(json.dumps(rec) + "\n")
@@ -100,7 +111,10 @@ def main_pair() -> None:
 
 def main_report() -> None:
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_urls = int(sys.argv[3]) if len(sys.argv) > 3 else 8_000_000
+    # pin the input size too: smoke-test rows at other sizes share the file
     rows = [json.loads(ln) for ln in open(RUNS)]
+    rows = [r for r in rows if r["n_urls"] == n_urls]
     lo = [r for r in rows if r["cpus"] == n]
     hi = [r for r in rows if r["cpus"] == 4 * n]
     if not lo or not hi:
