@@ -386,6 +386,24 @@ def main() -> None:
     frontier_throughput(spark, N_URLS, N_HOSTS)
     calib_pre = calibration(spark)
     shcalib_pre = shuffle_calibration(spark)
+    # Bounded wait-for-quiet: the shared hypervisor has windows where the
+    # shuffle path runs 2-50x slow (measured probe walls up to 48 s vs the
+    # 0.98 s quiet floor). Sampling inside one measures the neighbor, not
+    # the job — round 4's number of record read 2.7x slow for exactly this
+    # reason. If the pre-probes flag a deep window (>3x shuffle or >2x cpu
+    # floor), re-probe once a minute for up to 6 minutes and start timing
+    # in the best window seen; every probe is recorded so the emitted JSON
+    # still self-describes whatever window the samples actually got.
+    quiet_wait = 0
+    while (
+        (min(shcalib_pre) > 3.0 * SHUFFLE_CALIBRATION_REF_SEC
+         or min(calib_pre) > 2.0 * CALIBRATION_REF_SEC)
+        and quiet_wait < 360
+    ):
+        time.sleep(60)
+        quiet_wait += 60
+        calib_pre += calibration(spark, 1)
+        shcalib_pre += shuffle_calibration(spark, 1)
     fr_samples = [frontier_throughput(spark, N_URLS, N_HOSTS)
                   for _ in range(5)]
     fr = min(fr_samples, key=lambda r: r["wall_sec"])
@@ -393,6 +411,7 @@ def main() -> None:
         "frontier": [s["wall_sec"] for s in fr_samples],
         "calibration_pre": calib_pre,
         "shuffle_calibration_pre": shcalib_pre,
+        "quiet_wait_sec": [quiet_wait],
     }
 
     qtimes: dict[str, float] = {}

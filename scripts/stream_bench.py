@@ -60,18 +60,20 @@ n_urls = int(sys.argv[1]); path = sys.argv[2]; n_files = int(sys.argv[3])
 spark = build_session(32)
 spark.sparkContext.setLogLevel("ERROR")
 per = n_urls // n_files
+# page = id % (3/4 n): the last quarter of the stream re-sends the first
+# quarter's URLs — genuinely CROSS-batch duplicates that arrive after the
+# state has swapped to bloom mode, so the timed job exercises the
+# fixed-size-state dedup path with real hits, not just inserts
+unique_target = n_urls * 3 // 4
 for i in range(n_files):
-    # ~25% of rows repeat an earlier URL (id*3//4 folds every 4th id onto
-    # an existing one), spread over 4096 hosts — the state filter has real
-    # duplicates to drop, both within and across arrival batches
     df = (
         spark.range(i * per, (i + 1) * per, 1, 8)
         .select(
             F.concat(
                 F.lit("https://h"),
-                ((F.col("id") * 3 / 4).cast("long") % 4096).cast("string"),
+                ((F.col("id") % unique_target) % 4096).cast("string"),
                 F.lit(".test/p/"),
-                (F.col("id") * 3 / 4).cast("long").cast("string"),
+                (F.col("id") % unique_target).cast("string"),
             ).alias("url")
         )
     )
@@ -199,17 +201,56 @@ def main_gen() -> None:
     print(f"wrote {path}")
 
 
-def main_pair() -> None:
-    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
-    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    os.makedirs(os.path.dirname(RUNS), exist_ok=True)
+def do_pair(n_urls: int, n: int, window: dict | None = None) -> None:
     with open(RUNS, "a") as f:
         for cpus in (n, 4 * n):
             r = run_at(cpus, n_urls)
+            if window:
+                r["host_window"] = window
             f.write(json.dumps(r) + "\n")
             f.flush()
             print({"cpus": cpus, "wall": r["wall_sec"],
                    "emitted": r["emitted"]}, flush=True)
+
+
+def main_pair() -> None:
+    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    os.makedirs(os.path.dirname(RUNS), exist_ok=True)
+    do_pair(n_urls, n)
+
+
+def main_hunt() -> None:
+    """Probe-gated sampling (see scripts/submit_scaling.py hunt): only
+    spend a pair when the host's cpu+shuffle probes are within `factor`
+    of their committed quiet floors; the admitting probe is recorded in
+    each sample.  Usage: stream_bench.py hunt [n_urls] [N] [max_pairs]
+    [factor]."""
+    import time as _time
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    sys.path.insert(0, REPO)
+    import bench
+    from submit_scaling import probe_window
+
+    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    max_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    factor = float(sys.argv[5]) if len(sys.argv) > 5 else 1.6
+    os.makedirs(os.path.dirname(RUNS), exist_ok=True)
+    done = 0
+    while done < max_pairs:
+        w = probe_window(4 * n)
+        quiet = (
+            min(w["cpu"]) <= factor * bench.CALIBRATION_REF_SEC
+            and min(w["shuffle"]) <= factor * bench.SHUFFLE_CALIBRATION_REF_SEC
+        )
+        print(json.dumps({"probe": w, "quiet": quiet}), flush=True)
+        if quiet:
+            do_pair(n_urls, n, window=w)
+            done += 1
+        else:
+            _time.sleep(240)
 
 
 def main_report() -> None:
@@ -285,5 +326,7 @@ if __name__ == "__main__":
         main_gen()
     elif mode == "report":
         main_report()
+    elif mode == "hunt":
+        main_hunt()
     else:
         main_pair()
