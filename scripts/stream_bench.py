@@ -240,7 +240,7 @@ def main_hunt() -> None:
     os.makedirs(os.path.dirname(RUNS), exist_ok=True)
     done = 0
     while done < max_pairs:
-        w = probe_window(4 * n)
+        w = probe_window()
         quiet = (
             min(w["cpu"]) <= factor * bench.CALIBRATION_REF_SEC
             and min(w["shuffle"]) <= factor * bench.SHUFFLE_CALIBRATION_REF_SEC

@@ -99,9 +99,18 @@ spark.stop()
 """
 
 
-def probe_window(cpus: int) -> dict:
+def probe_window(cpus: int = 32) -> dict:
     """Measure the host's current cpu + shuffle window (fresh pinned JVM,
-    bench.py's two committed probes)."""
+    bench.py's two committed probes).
+
+    ``cpus`` MUST match the context the committed reference floors were
+    measured in — local[32], the whole machine (bench.py main sessions).
+    Both probes are fixed-size jobs, so a 16-core probe reads ~2x the
+    32-core floor on a PERFECTLY QUIET host; the first hunt deployment
+    probed at 4N=16 and rejected an hour of genuinely quiet windows
+    (steady cpu 1.6-2.0 s / shuffle 1.9-2.6 s — i.e. the 16-core quiet
+    floor) before this was caught. The probe reads the HOST's window;
+    the job pairs it admits then pin to their own N/4N levels."""
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
          PROBE_CHILD, str(cpus), REPO],
@@ -170,7 +179,7 @@ def main_hunt() -> None:
     os.makedirs(os.path.dirname(RUNS), exist_ok=True)
     done = 0
     while done < max_pairs:
-        w = probe_window(4 * n)
+        w = probe_window()
         quiet = (
             min(w["cpu"]) <= factor * bench.CALIBRATION_REF_SEC
             and min(w["shuffle"]) <= factor * bench.SHUFFLE_CALIBRATION_REF_SEC
