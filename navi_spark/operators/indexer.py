@@ -102,6 +102,18 @@ def field_lengths(
     )
 
 
+def embed_field_lengths(postings: DataFrame, lengths: DataFrame) -> DataFrame:
+    """Denormalize the per-doc field lengths into the posting rows — the
+    served-index layout: one posting row carries everything BM25F needs
+    (tf per field AND the doc's field lengths), so a query never joins the
+    corpus-sized lengths table. Classic impact/forward-metadata index
+    design; the cost is len-column bytes per posting row, paid once at
+    build time. An inner join is exact: postings and lengths are built
+    from the same token streams, so every posting doc_id has a lengths
+    row (and docs with no postings have nothing to score)."""
+    return postings.join(lengths, "doc_id")
+
+
 def field_totals(lengths: DataFrame, fields: Sequence[str]) -> DataFrame:
     """Global per-field token mass (I8 → field_counts.json parity)."""
     return lengths.agg(

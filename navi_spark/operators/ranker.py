@@ -71,13 +71,14 @@ def avg_field_lengths(
 
 def bm25f(
     postings: DataFrame,
-    lengths: DataFrame,
+    lengths: DataFrame | None,
     terms: Sequence[str],
     n_docs: int,
     fields: Sequence[str] = ("h1", "h2", "a", "other"),
     weights: dict[str, float] | None = None,
     last_term_overwrite: bool = False,
     avg_lengths: dict[str, float] | None = None,
+    idf_table: DataFrame | None = None,
 ) -> DataFrame:
     """R3: per-field weighted BM25, summed over fields then over terms.
 
@@ -88,15 +89,36 @@ def bm25f(
     index metadata (see :func:`avg_field_lengths`) instead of paying a
     per-query aggregation job over the whole lengths table — R4 is a
     property of the INDEX, not the query, exactly like the collection
-    stats a Lucene/Mongo index stores beside the postings."""
+    stats a Lucene/Mongo index stores beside the postings.
+
+    ``idf_table`` is the same idea for R1/R2: a prebuilt ``idf(postings,
+    n_docs)`` result (the term dictionary's DF column). Without it every
+    query re-aggregates document frequency — an exchange whose input is
+    the full posting list of each query term. Values are identical by
+    construction (same function at build time).
+
+    ``lengths`` may be None when the posting rows already carry the
+    ``len_<field>`` columns (indexer.embed_field_lengths) — the served-
+    index layout where one posting row holds everything BM25F needs and
+    a query never joins the corpus-sized lengths table."""
     weights = weights or FIELD_WEIGHTS
+    embedded = all(f"len_{f_}" in postings.columns for f_ in fields)
+    if avg_lengths is None and lengths is None:
+        raise ValueError("avg_lengths or lengths required")
     avgs = avg_lengths if avg_lengths is not None else avg_field_lengths(
         lengths, fields
     )
 
     qt = postings.filter(F.col("word").isin(*terms))
-    idf_df = idf(postings, n_docs)
-    j = qt.join(idf_df, "word").join(lengths, "doc_id")
+    idf_df = idf_table if idf_table is not None else idf(postings, n_docs)
+    j = qt.join(idf_df, "word")
+    if not embedded:
+        if lengths is None:
+            raise ValueError(
+                "postings lack len_<field> columns and no lengths table "
+                "was given"
+            )
+        j = j.join(lengths, "doc_id")
     per_field = None
     for f_ in fields:
         w = float(weights.get(f_, 1.0))
@@ -202,9 +224,18 @@ class PhraseIndex:
 
 
 def build_phrase_index(
-    pages: DataFrame, id_col: str, text_cols: Sequence[str]
+    pages: DataFrame, id_col: str, text_cols: Sequence[str],
+    parts: int | None = None,
 ) -> PhraseIndex:
-    pairs = phrase_prune_index(pages, id_col, text_cols).cache()
+    """`parts`: optional partition count for the cached pairs table —
+    size it to the corpus, not the session's shuffle default. A served
+    index scanned on every query must not pay 64 task launches to read a
+    few thousand rows; at cluster scale the same knob is the index's
+    bucket count (proportional to data)."""
+    pairs = phrase_prune_index(pages, id_col, text_cols)
+    if parts:
+        pairs = pairs.repartition(parts, "word")
+    pairs = pairs.cache()
     word_df = pairs.groupBy("word").agg(F.count("*").alias("df")).cache()
     return PhraseIndex(pairs, word_df)
 

@@ -45,6 +45,7 @@ def search(
     phrase_index: "ranker.PhraseIndex | None" = None,
     suggestions=None,
     avg_lengths: dict[str, float] | None = None,
+    idf_table: DataFrame | None = None,
 ) -> list[SearchResult]:
     """`phrase_index`: optional prebuilt ranker.build_phrase_index over the
     same pages/fields — phrase and boolean queries then regex-scan only the
@@ -54,7 +55,14 @@ def search(
     `avg_lengths`: optional prebuilt ranker.avg_field_lengths(lengths, ...)
     — index metadata, computed once at build time; without it every terms
     query pays an extra aggregation job over the lengths table (R4 depends
-    only on the index, never on the query)."""
+    only on the index, never on the query).
+
+    `idf_table`: optional prebuilt ranker.idf(postings, n_docs) — the term
+    dictionary's DF/IDF column, also index metadata (R1/R2); without it
+    every terms query re-aggregates document frequency from the postings.
+    `postings` may be the embed_field_lengths layout (len_ columns on the
+    posting rows), in which case the per-query lengths join disappears
+    too — see ranker.bm25f."""
     parsed = parse_query(query, stopwords=set(stopwords))
     if parsed.kind == "invalid":
         return []
@@ -81,7 +89,7 @@ def search(
     if parsed.kind == "terms":
         relevance = ranker.bm25f(
             postings, lengths, parsed.terms, n_docs, fields=fields,
-            avg_lengths=avg_lengths,
+            avg_lengths=avg_lengths, idf_table=idf_table,
         )
     elif parsed.kind == "phrase":
         rx = ranker.phrase_regex(parsed.phrases[0])

@@ -137,6 +137,29 @@ def test_bm25f_prebuilt_avg_lengths_parity(index):
     assert live == pre
 
 
+def test_bm25f_served_index_layout_parity(index):
+    # full served-index path: field lengths denormalized onto the posting
+    # rows (embed_field_lengths) + prebuilt DF/IDF table + prebuilt R4
+    # stats — a terms query then joins no corpus-sized side table and
+    # re-aggregates nothing, and the scores must be bit-identical to the
+    # default per-query-aggregation path
+    postings, lengths = index
+    fields = ("h1", "h2", "a", "other")
+    avgs = ranker.avg_field_lengths(lengths, fields)
+    idf_tab = ranker.idf(postings, N_DOCS)
+    served = indexer.embed_field_lengths(postings, lengths)
+    live = {r["doc_id"]: r["relevance"] for r in
+            ranker.bm25f(postings, lengths, ["spark", "tables"],
+                         N_DOCS).collect()}
+    pre = {r["doc_id"]: r["relevance"] for r in
+           ranker.bm25f(served, None, ["spark", "tables"], N_DOCS,
+                        avg_lengths=avgs, idf_table=idf_tab).collect()}
+    assert live == pre
+    # embedded layout without prebuilt stats still needs one of the two
+    with pytest.raises(ValueError):
+        ranker.bm25f(served, None, ["spark"], N_DOCS)
+
+
 def test_hybrid_rank(index, pages_df):
     postings, lengths = index
     rel = ranker.bm25f(postings, lengths, ["tables"], N_DOCS)
