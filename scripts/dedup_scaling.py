@@ -182,17 +182,56 @@ def main_gen() -> None:
     print(f"wrote {path}")
 
 
-def main_pair() -> None:
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
-    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    os.makedirs(os.path.dirname(RUNS), exist_ok=True)
+def do_pair(n_docs: int, n: int, window: dict | None = None) -> None:
     with open(RUNS, "a") as f:
         for cpus in (n, 4 * n):
             r = run_at(cpus, n_docs)
+            if window:
+                r["host_window"] = window
             f.write(json.dumps(r) + "\n")
             f.flush()
             print({"cpus": cpus, "wall": r["wall_sec"],
                    "pairs": r["n_pairs"]}, flush=True)
+
+
+def main_pair() -> None:
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    os.makedirs(os.path.dirname(RUNS), exist_ok=True)
+    do_pair(n_docs, n)
+
+
+def main_hunt() -> None:
+    """Probe-gated sampling (see scripts/submit_scaling.py hunt): only
+    spend a pair when the host's cpu+shuffle probes are within `factor`
+    of their committed quiet floors; the admitting probe is recorded in
+    each sample.  Usage: dedup_scaling.py hunt [n_docs] [N] [max_pairs]
+    [factor]."""
+    import time as _time
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    sys.path.insert(0, REPO)
+    import bench
+    from submit_scaling import probe_window
+
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    max_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    factor = float(sys.argv[5]) if len(sys.argv) > 5 else 1.6
+    os.makedirs(os.path.dirname(RUNS), exist_ok=True)
+    done = 0
+    while done < max_pairs:
+        w = probe_window()
+        quiet = (
+            min(w["cpu"]) <= factor * bench.CALIBRATION_REF_SEC
+            and min(w["shuffle"]) <= factor * bench.SHUFFLE_CALIBRATION_REF_SEC
+        )
+        print(json.dumps({"probe": w, "quiet": quiet}), flush=True)
+        if quiet:
+            do_pair(n_docs, n, window=w)
+            done += 1
+        else:
+            _time.sleep(240)
 
 
 def _ts(s: str | None) -> float | None:
@@ -367,5 +406,7 @@ if __name__ == "__main__":
         main_gen()
     elif mode == "report":
         main_report()
+    elif mode == "hunt":
+        main_hunt()
     else:
         main_pair()
