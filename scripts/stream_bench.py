@@ -26,9 +26,13 @@ over the whole stream near zero (~0.006), and the report asserts the
 emitted count is identical across every run/level.
 
 Usage:
-  python scripts/stream_bench.py gen [n_urls]       # write arrival files
-  python scripts/stream_bench.py pair [n_urls] [N]  # one interleaved
-        N/4N sample -> append BENCH/stream_bench.jsonl
+  python scripts/stream_bench.py gen [n_urls] [parts]   # arrival files
+        (parts = part-files per arrival batch; 1 = monolithic exhibit,
+        8 = realistic multi-file layout, the headline)
+  python scripts/stream_bench.py pair [n_urls] [N] [parts]  # one
+        interleaved N/4N sample -> append BENCH/stream_bench.jsonl
+  python scripts/stream_bench.py hunt [n_urls] [N] [max_pairs] [factor]
+        [parts]                                     # probe-gated pairs
   python scripts/stream_bench.py report [N]         # minima ->
         BENCH/STREAM_BENCH.md
 """
@@ -44,11 +48,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNS = os.path.join(REPO, "BENCH", "stream_bench.jsonl")
 
 N_FILES = 16
-FILES_PER_TRIGGER = 2  # -> 8 micro-batches
+FILES_PER_TRIGGER = 2  # arrival DIRS per trigger -> 8 micro-batches
+
+# Arrival-file layout: parts=1 writes each arrival batch as ONE parquet
+# part-file (one row group) — the per-trigger scan+shuffle-map stage then
+# has exactly 2 tasks no matter how many cores, a benchmark-artifact
+# Amdahl term (~1.8 s/trigger measured) that caps end-to-end scaling at
+# ~0.64. parts=8 writes 8 part-files per arrival batch (what any real
+# producer emits at scale), restoring scan parallelism. Both layouts are
+# tagged in each sample's config; the report sections them separately.
+DEFAULT_PARTS = 8
 
 
-def src_dir(n_urls: int) -> str:
-    return f"/dev/shm/navi-stream-src-{n_urls}"
+def src_dir(n_urls: int, parts: int) -> str:
+    base = f"/dev/shm/navi-stream-src-{n_urls}"
+    return base if parts == 1 else f"{base}-p{parts}"
 
 
 GEN_CHILD = r"""
@@ -57,6 +71,7 @@ sys.path.insert(0, sys.argv[4])
 import pyspark.sql.functions as F
 from bench import build_session
 n_urls = int(sys.argv[1]); path = sys.argv[2]; n_files = int(sys.argv[3])
+parts = int(sys.argv[5])
 spark = build_session(32)
 spark.sparkContext.setLogLevel("ERROR")
 per = n_urls // n_files
@@ -78,8 +93,11 @@ for i in range(n_files):
         )
     )
     f = os.path.join(path, f"batch_{i:04d}")
-    df.coalesce(1).write.mode("overwrite").parquet(f)
-    # strictly increasing mtimes pin the file-source ordering -> identical
+    (df.coalesce(1) if parts == 1 else df.repartition(parts)).write.mode(
+        "overwrite").parquet(f)
+    # strictly increasing mtimes ACROSS arrival batches pin the file-source
+    # ordering (equal within a batch dir: a trigger consumes whole dirs, so
+    # within-dir tie order cannot change trigger composition) -> identical
     # micro-batch composition in every run
     for root, _dirs, files in os.walk(f):
         for name in files:
@@ -96,6 +114,7 @@ from pyspark.sql import SparkSession
 from navi_spark.streaming.wave_stream import streaming_seen_filter
 cpus = int(sys.argv[1]); n_urls = int(sys.argv[2]); path = sys.argv[3]
 n_files = int(sys.argv[5]); per_trigger = int(sys.argv[6])
+parts = int(sys.argv[7])
 spark = (
     SparkSession.builder.master(f"local[{cpus}]")
     .appName("navi-stream-bench")
@@ -139,9 +158,17 @@ def run_stream(src_path, files_per_trigger, swap_threshold):
     rows_in = sum(p["numInputRows"] for p in progress)
     rows_out = sum(p["sink"]["numOutputRows"] for p in progress)
     batches = sum(1 for p in progress if p["numInputRows"] > 0)
+    # per-micro-batch duration breakdown (ms): addBatch is the
+    # data-proportional execution; the rest (planning, offset/WAL
+    # commits, state commit) is fixed machinery per trigger — the
+    # Amdahl term the scaling report attributes
+    durs: dict[str, int] = {}
+    for p in progress:
+        for k, v in (p.get("durationMs") or {}).items():
+            durs[k] = durs.get(k, 0) + int(v)
     q.stop()
     shutil.rmtree(ckpt, ignore_errors=True)
-    return rows_in, rows_out, batches
+    return rows_in, rows_out, batches, durs
 
 # warmup: the same job over the first two arrival files (python workers,
 # Arrow serializers, state-store machinery all reach steady state)
@@ -149,31 +176,34 @@ warm = tempfile.mkdtemp(prefix="navi-stream-warm-", dir="/dev/shm")
 for i in range(2):
     shutil.copytree(os.path.join(path, f"batch_{i:04d}"),
                     os.path.join(warm, f"batch_{i:04d}"))
-run_stream(warm, 1, 10_000)
+run_stream(warm, parts, 10_000)
 shutil.rmtree(warm, ignore_errors=True)
 
 t0 = time.monotonic()
-rows_in, rows_out, batches = run_stream(path, per_trigger, 40_000)
+rows_in, rows_out, batches, durs = run_stream(path, per_trigger * parts, 40_000)
 wall = time.monotonic() - t0
 print("RESULT " + json.dumps({
     "cpus": cpus, "n_urls": n_urls, "rows_in": rows_in,
     "emitted": rows_out, "micro_batches": batches,
     "wall_sec": round(wall, 3),
+    "duration_ms": durs,
     "urls_per_sec": round(rows_in / wall, 1),
     "config": {"shuffle_compress": False, "local_dir_tmpfs": True,
                "state_partitions": 64, "swap_threshold": 40000,
                "capacity": 300000, "fpp": 1e-9,
-               "files_per_trigger": per_trigger},
+               "files_per_trigger": per_trigger * parts,
+               "arrival_parts": parts},
 }))
 spark.stop()
 """
 
 
-def run_at(cpus: int, n_urls: int) -> dict:
+def run_at(cpus: int, n_urls: int, parts: int) -> dict:
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}",
          sys.executable, "-c", CHILD, str(cpus), str(n_urls),
-         src_dir(n_urls), REPO, str(N_FILES), str(FILES_PER_TRIGGER)],
+         src_dir(n_urls, parts), REPO, str(N_FILES),
+         str(FILES_PER_TRIGGER), str(parts)],
         capture_output=True, text=True, timeout=3600, cwd=REPO,
     )
     for line in out.stdout.splitlines():
@@ -186,14 +216,15 @@ def run_at(cpus: int, n_urls: int) -> dict:
 
 def main_gen() -> None:
     n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
-    path = src_dir(n_urls)
+    parts = int(sys.argv[3]) if len(sys.argv) > 3 else DEFAULT_PARTS
+    path = src_dir(n_urls, parts)
     if os.path.exists(path):
         print(f"exists: {path}")
         return
     os.makedirs(path, exist_ok=True)
     out = subprocess.run(
         [sys.executable, "-c", GEN_CHILD, str(n_urls), path, str(N_FILES),
-         REPO],
+         REPO, str(parts)],
         capture_output=True, text=True, timeout=1800, cwd=REPO,
     )
     if "GEN_OK" not in out.stdout:
@@ -201,10 +232,11 @@ def main_gen() -> None:
     print(f"wrote {path}")
 
 
-def do_pair(n_urls: int, n: int, window: dict | None = None) -> None:
+def do_pair(n_urls: int, n: int, parts: int,
+            window: dict | None = None) -> None:
     with open(RUNS, "a") as f:
         for cpus in (n, 4 * n):
-            r = run_at(cpus, n_urls)
+            r = run_at(cpus, n_urls, parts)
             if window:
                 r["host_window"] = window
             f.write(json.dumps(r) + "\n")
@@ -216,8 +248,9 @@ def do_pair(n_urls: int, n: int, window: dict | None = None) -> None:
 def main_pair() -> None:
     n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    parts = int(sys.argv[4]) if len(sys.argv) > 4 else DEFAULT_PARTS
     os.makedirs(os.path.dirname(RUNS), exist_ok=True)
-    do_pair(n_urls, n)
+    do_pair(n_urls, n, parts)
 
 
 def main_hunt() -> None:
@@ -225,7 +258,7 @@ def main_hunt() -> None:
     spend a pair when the host's cpu+shuffle probes are within `factor`
     of their committed quiet floors; the admitting probe is recorded in
     each sample.  Usage: stream_bench.py hunt [n_urls] [N] [max_pairs]
-    [factor]."""
+    [factor] [parts]."""
     import time as _time
 
     sys.path.insert(0, os.path.join(REPO, "scripts"))
@@ -237,6 +270,7 @@ def main_hunt() -> None:
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     max_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     factor = float(sys.argv[5]) if len(sys.argv) > 5 else 1.6
+    parts = int(sys.argv[6]) if len(sys.argv) > 6 else DEFAULT_PARTS
     os.makedirs(os.path.dirname(RUNS), exist_ok=True)
     done = 0
     while done < max_pairs:
@@ -247,7 +281,7 @@ def main_hunt() -> None:
         )
         print(json.dumps({"probe": w, "quiet": quiet}), flush=True)
         if quiet:
-            do_pair(n_urls, n, window=w)
+            do_pair(n_urls, n, parts, window=w)
             done += 1
         else:
             _time.sleep(240)
@@ -256,24 +290,98 @@ def main_hunt() -> None:
 def main_report() -> None:
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     rows = [json.loads(ln) for ln in open(RUNS)]
-    lo = [r for r in rows if r["cpus"] == n]
-    hi = [r for r in rows if r["cpus"] == 4 * n]
+    # identical input + pinned micro-batch composition -> identical output,
+    # across BOTH arrival layouts (a trigger consumes the same 2 batch dirs
+    # whether each dir is 1 file or 8)
+    assert len({r["emitted"] for r in rows}) == 1, "emitted drift!"
+
+    def layout(r: dict) -> int:
+        return int(r["config"].get("arrival_parts", 1))
+
+    # headline = the realistic multi-part arrival layout when sampled;
+    # the monolithic layout (parts=1) is kept as the attribution exhibit
+    head_parts = max(layout(r) for r in rows)
+    hrows = [r for r in rows if layout(r) == head_parts]
+    lo = [r for r in hrows if r["cpus"] == n]
+    hi = [r for r in hrows if r["cpus"] == 4 * n]
     if not lo or not hi:
         raise SystemExit("need samples at both levels")
     blo = min(lo, key=lambda r: r["wall_sec"])
     bhi = min(hi, key=lambda r: r["wall_sec"])
-    # identical input + pinned micro-batch composition -> identical output
-    assert {r["emitted"] for r in rows} == {blo["emitted"]}, "emitted drift!"
     speedup = round(blo["wall_sec"] / bhi["wall_sec"], 3)
     eff = round(speedup / 4.0, 3)
+
+    # the monolithic-layout exhibit: same job, arrival batches written as
+    # one row group each -> the per-trigger scan stage is 2 tasks at every
+    # core count, a constant ~per-trigger term that caps scaling
+    mono = ""
+    mrows = [r for r in rows if layout(r) == 1]
+    mlo = [r for r in mrows if r["cpus"] == n]
+    mhi = [r for r in mrows if r["cpus"] == 4 * n]
+    if mlo and mhi and head_parts > 1:
+        a, b = (min(x, key=lambda r: r["wall_sec"]) for x in (mlo, mhi))
+        msp = round(a["wall_sec"] / b["wall_sec"], 3)
+        # two-point Amdahl split: wall/trigger = const + scaled/cores
+        nb = a["micro_batches"]
+        t4, t16 = a["wall_sec"] / nb, b["wall_sec"] / nb
+        scaled = (t4 - t16) * (4 * n * n) / (3 * n)
+        const = t4 - scaled / n
+        mono = f"""
+## Attribution: the arrival-file layout is the scaling limiter
+
+Same job over the SAME urls written as ONE parquet part-file (= one row
+group) per arrival batch: local[{n}] {a['wall_sec']} s / local[{4 * n}]
+{b['wall_sec']} s -> speedup {msp}x, efficiency {round(msp / 4, 3)}. With
+2 files per trigger the scan+shuffle-map stage of every micro-batch has
+exactly 2 tasks no matter how many cores; the two-point split
+wall/trigger = const + scaled/cores over the minima gives const =
+{const:.2f} s/trigger x {nb} triggers = {const * nb:.1f} s that no core
+count touches. Re-writing each arrival batch as {head_parts} part-files
+(what any distributed producer emits) restores scan parallelism and is
+the ONLY change between the exhibit and the headline — the operator,
+state machinery, and emitted set are identical. At cluster scale the
+lesson is real: a file-stream source is only as parallel as its
+arrival-file granularity.
+"""
+
+    # Amdahl attribution when the duration breakdown is recorded:
+    # addBatch is the data-proportional execution; everything else in
+    # triggerExecution (query planning, offset/WAL commits, state-store
+    # commit) is fixed machinery per micro-batch that no core count
+    # shrinks. Report the kernel (addBatch-only) scaling beside the
+    # end-to-end number.
+    attrib = ""
+    if blo.get("duration_ms") and bhi.get("duration_ms"):
+        lo_add = blo["duration_ms"].get("addBatch", 0) / 1000.0
+        hi_add = bhi["duration_ms"].get("addBatch", 0) / 1000.0
+        lo_trig = blo["duration_ms"].get("triggerExecution", 0) / 1000.0
+        hi_trig = bhi["duration_ms"].get("triggerExecution", 0) / 1000.0
+        if lo_add and hi_add:
+            ksp = round(lo_add / hi_add, 3)
+            attrib = f"""
+## Attribution (per-trigger duration breakdown, best run each level)
+
+| component | local[{n}] | local[{4 * n}] | speedup |
+|---|---|---|---|
+| addBatch (data-proportional execution) | {lo_add:.1f} s | {hi_add:.1f} s | {ksp}x |
+| fixed trigger machinery (plan + offsets + WAL + state commit) | {lo_trig - lo_add:.1f} s | {hi_trig - hi_add:.1f} s | — |
+
+Kernel (addBatch-only) scaling: **{ksp}x / 4 = {round(ksp / 4, 3)}**.
+The fixed machinery is a constant per micro-batch — {blo['micro_batches']}
+triggers pay it at every level regardless of cores (Amdahl term). A real
+deployment amortizes it with bigger micro-batches; the efficiency number
+above charges it in full at this batch size.
+"""
     path = os.path.join(REPO, "BENCH", "STREAM_BENCH.md")
     with open(path, "w") as f:
         f.write(f"""# BENCH/STREAM_BENCH.md — streaming seen-filter throughput + scaling
 
 Job: `streaming_seen_filter` (the Structured Streaming twin of the batch
 C9 URL-seen check) over {blo['rows_in']:,} streamed URL arrivals in
-{blo['micro_batches']} micro-batches (file source, maxFilesPerTrigger=
-{blo['config']['files_per_trigger']}, mtime-pinned composition), 64
+{blo['micro_batches']} micro-batches (file source, 2 arrival batches of
+{blo['config'].get('arrival_parts', 1)} part-file(s) per trigger =
+maxFilesPerTrigger={blo['config']['files_per_trigger']}, mtime-pinned
+composition), 64
 host_partition state groups via applyInPandasWithState, noop sink.
 swap_threshold={blo['config']['swap_threshold']:,} forces every
 partition's state through the exact→bloom transition mid-stream, so the
@@ -297,7 +405,7 @@ samples, min per level.
 
 All walls — local[{n}]: {sorted(r['wall_sec'] for r in lo)},
 local[{4 * n}]: {sorted(r['wall_sec'] for r in hi)}.
-
+{attrib}{mono}
 ## Why this scales
 
 * State is partitioned by host_partition (the same hash partitioning the
@@ -310,8 +418,8 @@ local[{4 * n}]: {sorted(r['wall_sec'] for r in hi)}.
   stays bit-identical.
 
 Generated by:
-  python scripts/stream_bench.py gen {blo['n_urls']}
-  python scripts/stream_bench.py pair {blo['n_urls']} {n}   (×S samples)
+  python scripts/stream_bench.py gen {blo['n_urls']} [parts]
+  python scripts/stream_bench.py pair {blo['n_urls']} {n} [parts]  (×S)
   python scripts/stream_bench.py report {n}
 """)
     print(json.dumps({"speedup": speedup, "efficiency": eff,
