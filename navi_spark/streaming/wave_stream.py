@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SEEN_OUT_SCHEMA = "host_partition int, url string, url_hash long"
-SEEN_STATE_SCHEMA = "hashes array<long>, bloom binary, n_items long"
+# exact-mode hashes travel as ONE little-endian int64 blob, not
+# array<long>: the state round-trips JVM<->python every task, and a
+# 40k-element array value costs ~10x a 320 KB binary in (de)serialization
+# (measured: the state round-trip was the largest term in the stream
+# bench's per-task time before this encoding — BENCH/STREAM_BENCH.md).
+SEEN_STATE_SCHEMA = "hashes binary, bloom binary, n_items long"
 
 
 def _dedupe_keys(
@@ -36,9 +41,10 @@ def _dedupe_keys(
     fpp: float,
 ) -> tuple["np.ndarray", tuple]:
     """Pure per-group seen-filter transition: (state, batch keys) →
-    (first-seen mask, new state). State is (hashes, bloom, n_items):
+    (first-seen mask, new state). State is (hashes, bloom, n_items),
+    with `hashes` an int64 ndarray (or None in bloom mode):
 
-    * exact mode (bloom is None): `hashes` is the full 64-bit hash list —
+    * exact mode (bloom is None): `hashes` is the full 64-bit hash set —
       bit-exact dedup, state linear in seen URLs.
     * bloom mode: once the exact list would exceed `swap_threshold`, the
       whole set converts to a FIXED-SIZE bloom blob sized for `capacity`
@@ -65,13 +71,13 @@ def _dedupe_keys(
 
     m_bits, k_hashes = sizing(capacity, fpp)
     if state_tuple is None:
-        hashes, blob, n_items = [], None, 0
+        hashes, blob, n_items = None, None, 0
     else:
         hashes, blob, n_items = state_tuple
         blob = bytes(blob) if blob is not None else None
 
     if blob is None:
-        seen = (np.array(hashes, dtype=np.int64)
+        seen = (np.asarray(hashes, dtype=np.int64)
                 if hashes is not None and len(hashes)
                 else np.empty(0, dtype=np.int64))
         new_mask = ~np.isin(keys, seen) & first_mask
@@ -82,7 +88,7 @@ def _dedupe_keys(
                 bloom_new(m_bits), all_seen.view(np.uint64), k_hashes
             )
             return new_mask, (None, blob, n_items)
-        return new_mask, (all_seen.tolist(), None, n_items)
+        return new_mask, (all_seen, None, n_items)
 
     maybe = bloom_maybe(blob, keys.view(np.uint64), k_hashes)
     new_mask = (~maybe) & first_mask
@@ -121,7 +127,16 @@ def streaming_seen_filter(
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        st = tuple(state.get) if state.exists else None
+        st = None
+        if state.exists:
+            h, blob, n = state.get
+            st = (
+                np.frombuffer(bytes(h), dtype="<i8") if h is not None
+                else None,
+                bytes(blob) if blob is not None else None,
+                int(n),
+            )
+        n_before = st[2] if st is not None else -1
         for b in batches:
             keys = b["url_hash"].to_numpy()
             if not len(keys):
@@ -130,7 +145,17 @@ def streaming_seen_filter(
             out = b.loc[mask, ["url", "url_hash"]].copy()
             out.insert(0, "host_partition", key[0])
             yield out
-        state.update(st if st is not None else ([], None, 0))
+        # state changes iff the unique count moved (the exact set grows,
+        # the swap fires, or the bloom absorbs fresh keys — all move
+        # n_items); an all-duplicate batch skips the update entirely, so
+        # neither the blob re-serialization nor the state-store delta
+        # commit is paid for rows the filter fully absorbed
+        if st is not None and st[2] != n_before:
+            state.update((
+                st[0].astype("<i8").tobytes() if st[0] is not None else None,
+                st[1],
+                st[2],
+            ))
 
     return keyed.groupBy("host_partition").applyInPandasWithState(
         dedupe,

@@ -127,6 +127,23 @@ def test_streaming_seen_filter_bloom_mode_matches_exact(spark, tmpdir):
         )
         want = sorted({u for (u,) in urls1} | {u for (u,) in urls2})
         assert got == want
+        # batch 3: ALL replays — the kernel skips state.update entirely
+        # (n_items unchanged); the store must carry the old state forward
+        spark.createDataFrame(urls1[:1000], "url string").write.mode(
+            "append").parquet(in_dir)
+        q.processAllAvailable()
+        # batch 4: replays + new — state survived the non-updating batch,
+        # so replays stay suppressed and only the new URLs emit
+        urls4 = [(f"https://h{i % 7}.test/p{i}",) for i in range(4000, 5000)]
+        spark.createDataFrame(urls4, "url string").write.mode(
+            "append").parquet(in_dir)
+        q.processAllAvailable()
+        got = sorted(
+            r["url"] for r in spark.sql("select url from seen_bloom_out").collect()
+        )
+        want = sorted({u for (u,) in urls1} | {u for (u,) in urls2}
+                      | {u for (u,) in urls4})
+        assert got == want
     finally:
         q.stop()
 
