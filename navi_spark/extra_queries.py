@@ -10,7 +10,10 @@ is the batch twin of `stream_hourly_rollup`; `tpch_q1` is a relational-
 coverage demo; `r13_doc_count`/`r14_ordered_multiget` (driver-certified
 rounds 2-4, rotated out in round 5 to certify `i5_field_pivot` and
 `tpch_q3_shipping_priority`) are one-join/one-agg projections of the
-documents table. They are kept out of the exported `queries()` registry
+documents table; `curate_corpus` composes the driver-certified text/dedup
+operators (langid → quality → fingerprint keep-first → token count) into
+one end-to-end curation pipeline with a single-exchange plan (pinned by
+tests/test_plans.py). They are kept out of the exported `queries()` registry
 so that the driver certifies 100% of the exported surface — nothing rides
 uncertified — and validated by the SAME oracle protocol via
 `scripts/check_oracle.py --extra` and tests/test_extra_queries.py.
@@ -20,10 +23,11 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from navi_spark.queries import load
+from navi_spark.queries import _EN_TRIGRAMS, load
 
 _REGISTRY: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]
@@ -367,3 +371,96 @@ def c21_recrawl_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+_CURATE_TRI_IN = ", ".join("'" + t + "'" for t in _EN_TRIGRAMS)
+
+
+@_q(
+    "curate_corpus",
+    f"""
+    WITH tri AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CASE WHEN tg IN ({_CURATE_TRI_IN})
+                            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS tri_score
+      FROM (SELECT doc_id, substr(lower(text), CAST(j AS INT) + 1, 3) AS tg
+            FROM (SELECT doc_id, text,
+                         unnest(range(0, length(text) - 2)) AS j
+                  FROM documents WHERE length(text) >= 3))
+      GROUP BY doc_id
+    ), feat AS (
+      SELECT d.doc_id,
+             tri.tri_score,
+             ROUND(
+               0.5 * LEAST(d.n_chars / 500.0, 1.0)
+               + 0.5 * (len(string_split_regex(d.text, '\\s+'))
+                        - len(list_filter(string_split_regex(d.text, '\\s+'),
+                              w -> w = 'the' OR w = 'a' OR w = 'of'
+                                   OR w = 'and' OR w = 'to')))
+                     / len(string_split_regex(d.text, '\\s+')), 6) AS quality,
+             md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))
+               AS fingerprint,
+             CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents d JOIN tri ON d.doc_id = tri.doc_id
+      WHERE tri.tri_score >= 0.08
+    )
+    SELECT doc_id, tri_score, quality, n_tokens
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                       ORDER BY doc_id) AS rn
+          FROM feat WHERE quality >= 0.55)
+    WHERE rn = 1
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data operators COMPOSED as one curation pipeline:
+    language-ID gate (tri_score >= 0.08, the text_langid kernel) →
+    quality gate (>= 0.55, the text_quality_score blend) → exact
+    near-dup drop (keep lowest doc_id per text_fingerprint) → per-doc
+    token count. Each stage is individually driver-certified; this row
+    certifies the composition end-to-end against one DuckDB twin.
+
+    Scale shape: ALL per-doc features (trigram score, quality,
+    fingerprint, token count) come out of ONE narrow pass over the
+    corpus — no joins between feature stages — and the only exchange in
+    the plan is the fingerprint window for the dedup keep-first (the
+    same C15 shape). At 100 TB this is a single map over the documents
+    plus one hash-partitioned window."""
+    @F.pandas_udf("long")
+    def hits_udf(low: pd.Series) -> pd.Series:
+        return low.map(
+            lambda s: 0 if s is None
+            else sum(s.count(t) for t in _EN_TRIGRAMS)
+        ).astype("int64")
+
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    low = F.lower(F.col("text"))
+    tri = F.round(
+        hits_udf(low).cast("double") / (F.length("text") - 2), 6)
+    words = F.split(F.col("text"), "\\s+")
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "of", "and", "to")))
+    quality = F.round(
+        0.5 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+        + 0.5 * (F.size(words) - n_stop) / F.size(words), 6)
+    fp = F.md5(
+        F.regexp_replace(low, "\\s+", " ").cast("binary"))
+    feat = (
+        d.select(
+            "doc_id",
+            tri.alias("tri_score"),
+            quality.alias("quality"),
+            fp.alias("fingerprint"),
+            F.size(words).cast("long").alias("n_tokens"),
+        )
+        .filter((F.col("tri_score") >= 0.08) & (F.col("quality") >= 0.55))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        feat.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "tri_score", "quality", "n_tokens")
+    )

@@ -253,3 +253,22 @@ def test_registry_covers_survey_ops_with_no_certification_window():
         "tpch_q1_pricing_summary",                    # demo
         "r13_doc_count", "r14_ordered_multiget",      # rotated out r05
     }, alternates
+
+
+def test_curate_corpus_one_pass_one_exchange(spark, sf_dir):
+    """The composed curation pipeline (langid -> quality -> dedup ->
+    tokens) must compute ALL per-doc features in one narrow pass — no
+    joins between feature stages — with the fingerprint keep-first
+    window as the plan's ONLY exchange, and the map-side
+    WindowGroupLimit (partial top-1 per fingerprint) in front of it so
+    duplicate rows are cut before they shuffle."""
+    from navi_spark import extra_queries as xq
+
+    df = xq.curate_corpus(spark, sf_dir)
+    assert count_exchanges(df) == 1, explain_str(df)
+    plan = explain_str(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan  # Partial + Final
+    assert_no_cartesian(df)
+    cols = scan_columns(df)
+    # column pruning: only doc_id/text/n_chars leave the documents scan
+    assert cols and all(len(c) <= 3 for c in cols), cols
