@@ -1,0 +1,303 @@
+"""Scaling/throughput evidence for the image fetch-validation family.
+
+The north star's payload clause — "fetched image payloads are decoded and
+validated with vectorized Arrow UDFs (decoded-pixel allclose, PSNR >= 40 dB
+for lossy formats, caption string equality per row)" — runs in the wave as
+`validate_payload_udf` (navi_spark/operators/fetch.py). Every other
+capability family has a measured N vs 4N scaling row in BENCH/BASELINE.md's
+scoreboard; this harness adds the payload-validation row.
+
+Job: read the ground image+caption table (input_hint shape, written once to
+/dev/shm so both levels read identical bytes) with ~0.5% deterministically
+corrupted payloads and ~0.25% caption flips planted, run the full per-row
+invariant (decode -> dims -> allclose/PSNR -> caption equality) over every
+row, and aggregate a failure-reason histogram. The histogram is asserted
+identical across every run/level (corrupt plants are pure functions of
+image_id). Map-only + one tiny hash-agg: this isolates the Arrow-UDF decode
+kernel the same way bench_scaling's `kernel` job isolates canonicalization.
+
+Protocol = scripts/bench_scaling.py: no real cluster in this sandbox, so
+the two-cluster-size criterion is evidenced by the IDENTICAL job at
+local[N] vs local[4N], taskset-bound fresh JVM per run, in-JVM warmup,
+interleaved samples, min per level.
+
+Usage:
+  python scripts/imgval_scaling.py gen [n_images]        # ground parquet
+  python scripts/imgval_scaling.py pair [n_images] [N]   # one interleaved
+        N/4N sample -> append BENCH/imgval_scaling.jsonl
+  python scripts/imgval_scaling.py hunt [n_images] [N] [max_pairs] [factor]
+  python scripts/imgval_scaling.py report [N]            # minima ->
+        BENCH/IMGVAL_SCALING.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUNS = os.path.join(REPO, "BENCH", "imgval_scaling.jsonl")
+
+
+def imgs_path(n: int) -> str:
+    return f"/dev/shm/navi-imgval-{n}.parquet"
+
+
+# Corruption plants (pure functions of image_id so every run/level sees the
+# same rows): slot 0 of 400 truncates the payload mid-IDAT (decode-error),
+# slot 1 of 400 flips the caption (caption-mismatch). Expression-level
+# (substring works on BinaryType) so the plant itself costs no python.
+PLANT = """
+slot = F.pmod(F.xxhash64("image_id"), F.lit(400))
+df = df.withColumn(
+    "bytes",
+    F.when(slot == 0, F.expr("substring(bytes, 1, 48)")).otherwise(F.col("bytes")),
+).withColumn(
+    "caption",
+    F.when(slot == 1, F.concat(F.col("caption"), F.lit(" [ALT]")))
+    .otherwise(F.col("caption")),
+)
+"""
+
+GEN_CHILD = r"""
+import sys
+sys.path.insert(0, sys.argv[3])
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+from navi_spark.sources.datagen import generate_images
+n, path = int(sys.argv[1]), sys.argv[2]
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.local.dir", "/dev/shm/spark-local")
+    .config("spark.driver.memory", "12g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+df = generate_images(spark, n, parts=256)
+""" + PLANT + r"""
+df.write.mode("overwrite").parquet(path)
+print("GEN_OK")
+spark.stop()
+"""
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, sys.argv[4])
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+from navi_spark.operators.fetch import validate_payload_udf
+from navi_spark.sources.datagen import generate_images
+cpus = int(sys.argv[1]); n_imgs = int(sys.argv[2]); path = sys.argv[3]
+spark = (
+    SparkSession.builder.master(f"local[{cpus}]")
+    .appName("navi-imgval-scaling")
+    .config("spark.sql.shuffle.partitions", "64")
+    # one task per input file (256 gen part-files): 4 fat tasks measured a
+    # 25% straggler tail (last task runs alone on a 3.4x-noise host); fine
+    # tasks keep every core fed at both levels
+    .config("spark.sql.files.maxPartitionBytes", "16m")
+    .config("spark.sql.files.openCostInBytes", "16m")
+    .config("spark.local.dir", "/dev/shm/spark-local")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.driver.memory", "12g")
+    .config("spark.driver.extraJavaOptions",
+            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus}")
+    .config("spark.shuffle.compress", "false")
+    .config("spark.shuffle.spill.compress", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+def validate(df):
+    out = (
+        df.withColumn(
+            "_fail",
+            validate_payload_udf("image_id", "bytes", "fmt", "w", "h",
+                                 "caption"),
+        )
+        .groupBy(F.coalesce(
+            # fold parametrized reasons (decode-error:<exc>) to their class
+            F.regexp_extract("_fail", r"^([a-z-]+)", 1), F.lit("ok"),
+        ).alias("reason"))
+        .count()
+    )
+    return sorted((r["reason"], r["count"]) for r in out.collect())
+
+# two-step warmup (inline datagen, NOT the measured parquet): codegen/JIT +
+# python-worker forks to steady state before the timed run at both levels
+validate(generate_images(spark, 20000, parts=64))
+validate(generate_images(spark, 150000, parts=64))
+
+imgs = spark.read.parquet(path)
+t0 = time.monotonic()
+hist = validate(imgs)
+wall = time.monotonic() - t0
+n_bytes = imgs.agg(F.sum(F.length("bytes"))).collect()[0][0]
+print("RESULT " + json.dumps({
+    "cpus": cpus, "n_images": n_imgs, "wall_sec": round(wall, 3),
+    "images_per_sec": round(n_imgs / wall, 1),
+    "payload_mb_per_sec": round(n_bytes / 1e6 / wall, 1),
+    "histogram": hist,
+    "config": {"shuffle_compress": False, "local_dir_tmpfs": True,
+               "partitions": 64, "driver_memory": "12g"},
+}))
+spark.stop()
+"""
+
+
+def run_at(cpus: int, n_imgs: int) -> dict:
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, "-c", CHILD, str(cpus), str(n_imgs),
+         imgs_path(n_imgs), REPO],
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"child failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+def main_gen() -> None:
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 800_000
+    path = imgs_path(n)
+    if os.path.exists(path):
+        print(f"exists: {path}")
+        return
+    out = subprocess.run(
+        [sys.executable, "-c", GEN_CHILD, str(n), path, REPO],
+        capture_output=True, text=True, timeout=1800, cwd=REPO,
+    )
+    if "GEN_OK" not in out.stdout:
+        raise RuntimeError(out.stdout[-2000:] + out.stderr[-2000:])
+    print(f"wrote {path}")
+
+
+def do_pair(n_imgs: int, n: int, window: dict | None = None) -> None:
+    os.makedirs(os.path.dirname(RUNS), exist_ok=True)
+    with open(RUNS, "a") as f:
+        for cpus in (n, 4 * n):
+            r = run_at(cpus, n_imgs)
+            if window:
+                r["host_window"] = window
+            f.write(json.dumps(r) + "\n")
+            f.flush()
+            print({"cpus": cpus, "wall": r["wall_sec"],
+                   "hist": r["histogram"]}, flush=True)
+
+
+def main_pair() -> None:
+    n_imgs = int(sys.argv[2]) if len(sys.argv) > 2 else 800_000
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    do_pair(n_imgs, n)
+
+
+def main_hunt() -> None:
+    """Probe-gated sampling (see scripts/submit_scaling.py hunt): only spend
+    a pair when the host's cpu+shuffle probes are within `factor` of their
+    committed quiet floors."""
+    n_imgs = int(sys.argv[2]) if len(sys.argv) > 2 else 800_000
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    max_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    factor = float(sys.argv[5]) if len(sys.argv) > 5 else 1.5
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from submit_scaling import probe_window
+
+    done = 0
+    while done < max_pairs:
+        w = probe_window()
+        quiet = (w["cpu_sec"] <= w["cpu_floor"] * factor
+                 and w["shuffle_sec"] <= w["shuffle_floor"] * factor)
+        print(json.dumps({"probe": w, "quiet": quiet}), flush=True)
+        if not quiet:
+            time.sleep(60)
+            continue
+        do_pair(n_imgs, n, window=w)
+        done += 1
+
+
+def main_report() -> None:
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    rows = [json.loads(ln) for ln in open(RUNS)]
+    lo = [r for r in rows if r["cpus"] == n]
+    hi = [r for r in rows if r["cpus"] == 4 * n]
+    hists = {json.dumps(r["histogram"]) for r in rows}
+    assert len(hists) == 1, f"failure histogram varies across runs: {hists}"
+    blo = min(lo, key=lambda r: r["wall_sec"])
+    bhi = min(hi, key=lambda r: r["wall_sec"])
+    speedup = blo["wall_sec"] / bhi["wall_sec"]
+    hist = dict(blo["histogram"])
+    n_imgs = blo["n_images"]
+    path = os.path.join(REPO, "BENCH", "IMGVAL_SCALING.md")
+    with open(path, "w") as f:
+        f.write(f"""# BENCH/IMGVAL_SCALING.md — image payload validation scaling
+
+Job: the north star's per-row payload invariant — decode (real PNG / NVLS
+lossy), dims check, decoded-pixel allclose (exact for PNG, PSNR >= 40 dB
+lossy), caption string equality — via `validate_payload_udf`
+(navi_spark/operators/fetch.py, the same Arrow UDF the wave's fetch stage
+runs) over {n_imgs:,} ground-table rows (input_hint schema) with planted
+corruption: 1/400 payloads truncated mid-IDAT, 1/400 captions flipped, both
+pure functions of image_id. Failure histogram (asserted identical across
+every run/level): {hist}.
+
+Map-only + one 64-partition hash-agg (the histogram): the measured path is
+the Arrow decode kernel itself, the family's analogue of the frontier
+`kernel` row.
+
+Protocol = scripts/bench_scaling.py: identical job + input parquet at
+local[{n}] vs local[{4 * n}], taskset-bound fresh JVM, in-JVM warmup,
+interleaved samples, min per level.
+
+## Result (min over {len(lo)}/{len(hi)} interleaved samples)
+
+| level | wall | images/s | payload MB/s |
+|---|---|---|---|
+| local[{n}] | {blo['wall_sec']} s | {blo['images_per_sec']:,} | {blo['payload_mb_per_sec']} |
+| local[{4 * n}] | {bhi['wall_sec']} s | {bhi['images_per_sec']:,} | {bhi['payload_mb_per_sec']} |
+
+**speedup {speedup:.3f}x / 4 -> scaling efficiency {speedup / 4:.2f}**
+
+All walls — local[{n}]: {sorted(r['wall_sec'] for r in lo)},
+local[{4 * n}]: {sorted(r['wall_sec'] for r in hi)}.
+
+## Why this scales
+
+* The validation is embarrassingly parallel: 64 input splits, no shuffle
+  until the 14-row histogram agg; per-task state is one Arrow batch.
+* Failed payloads cost less than valid ones (decode aborts at the zlib
+  error), so planted corruption cannot inflate throughput.
+* At the 10^10 design point this stage is fetch-bound, not decode-bound;
+  the number here is the decode ceiling per core, which sizes the
+  executor count needed to keep up with a given fetch fleet.
+
+Generated by:
+  python scripts/imgval_scaling.py gen {n_imgs}
+  python scripts/imgval_scaling.py pair {n_imgs} {n}   (xS samples)
+  python scripts/imgval_scaling.py report {n}
+""")
+    print(f"wrote {path}")
+    print(json.dumps({
+        "speedup": round(speedup, 3), "efficiency": round(speedup / 4, 3),
+        f"local[{n}]": blo["wall_sec"], f"local[{4 * n}]": bhi["wall_sec"],
+    }))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "pair"
+    if mode == "gen":
+        main_gen()
+    elif mode == "pair":
+        main_pair()
+    elif mode == "hunt":
+        main_hunt()
+    elif mode == "report":
+        main_report()
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")

@@ -252,6 +252,7 @@ def test_registry_covers_survey_ops_with_no_certification_window():
         "ev_hourly_rollup",                           # ⊂ stream_hourly_rollup
         "tpch_q1_pricing_summary",                    # demo
         "r13_doc_count", "r14_ordered_multiget",      # rotated out r05
+        "curate_corpus",                              # composed text/dedup ops
     }, alternates
 
 
