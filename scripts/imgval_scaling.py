@@ -207,13 +207,17 @@ def main_hunt() -> None:
     max_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     factor = float(sys.argv[5]) if len(sys.argv) > 5 else 1.5
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, REPO)
+    import bench
     from submit_scaling import probe_window
 
     done = 0
     while done < max_pairs:
         w = probe_window()
-        quiet = (w["cpu_sec"] <= w["cpu_floor"] * factor
-                 and w["shuffle_sec"] <= w["shuffle_floor"] * factor)
+        quiet = (
+            min(w["cpu"]) <= factor * bench.CALIBRATION_REF_SEC
+            and min(w["shuffle"]) <= factor * bench.SHUFFLE_CALIBRATION_REF_SEC
+        )
         print(json.dumps({"probe": w, "quiet": quiet}), flush=True)
         if not quiet:
             time.sleep(60)
@@ -245,11 +249,15 @@ lossy), caption string equality — via `validate_payload_udf`
 runs) over {n_imgs:,} ground-table rows (input_hint schema) with planted
 corruption: 1/400 payloads truncated mid-IDAT, 1/400 captions flipped, both
 pure functions of image_id. Failure histogram (asserted identical across
-every run/level): {hist}.
+every run/level): {hist}. The {hist.get('psnr-low', 0)} psnr-low rows are
+not plants: the NVLS quantizer's PSNR band centers at ~40.9 dB, so a
+~1/18k tail of images genuinely lands a hair under the 40 dB floor — the
+invariant flags them deterministically, which is exactly what a
+borderline-quality gate should do.
 
-Map-only + one 64-partition hash-agg (the histogram): the measured path is
+Map-only + one tiny hash-agg (the histogram): the measured path is
 the Arrow decode kernel itself, the family's analogue of the frontier
-`kernel` row.
+`kernel` row. Input is 256 part-files read one-task-per-file.
 
 Protocol = scripts/bench_scaling.py: identical job + input parquet at
 local[{n}] vs local[{4 * n}], taskset-bound fresh JVM, in-JVM warmup,
@@ -269,8 +277,8 @@ local[{4 * n}]: {sorted(r['wall_sec'] for r in hi)}.
 
 ## Why this scales
 
-* The validation is embarrassingly parallel: 64 input splits, no shuffle
-  until the 14-row histogram agg; per-task state is one Arrow batch.
+* The validation is embarrassingly parallel: 256 input splits, no shuffle
+  until the 4-row histogram agg; per-task state is one Arrow batch.
 * Failed payloads cost less than valid ones (decode aborts at the zlib
   error), so planted corruption cannot inflate throughput.
 * At the 10^10 design point this stage is fetch-bound, not decode-bound;
