@@ -200,12 +200,13 @@ spark.stop()
 
 
 def run_at(cpus: int, n_urls: int, parts: int,
-           capacity: int = 300_000) -> dict:
+           capacity: int = 300_000,
+           trigger_dirs: int = FILES_PER_TRIGGER) -> dict:
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}",
          sys.executable, "-c", CHILD, str(cpus), str(n_urls),
          src_dir(n_urls, parts), REPO, str(N_FILES),
-         str(FILES_PER_TRIGGER), str(parts), str(capacity)],
+         str(trigger_dirs), str(parts), str(capacity)],
         capture_output=True, text=True, timeout=3600, cwd=REPO,
     )
     for line in out.stdout.splitlines():
@@ -235,10 +236,11 @@ def main_gen() -> None:
 
 
 def do_pair(n_urls: int, n: int, parts: int,
-            window: dict | None = None) -> None:
+            window: dict | None = None,
+            trigger_dirs: int = FILES_PER_TRIGGER) -> None:
     with open(RUNS, "a") as f:
         for cpus in (n, 4 * n):
-            r = run_at(cpus, n_urls, parts)
+            r = run_at(cpus, n_urls, parts, trigger_dirs=trigger_dirs)
             if window:
                 r["host_window"] = window
             f.write(json.dumps(r) + "\n")
@@ -251,8 +253,9 @@ def main_pair() -> None:
     n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     parts = int(sys.argv[4]) if len(sys.argv) > 4 else DEFAULT_PARTS
+    trigger_dirs = int(sys.argv[5]) if len(sys.argv) > 5 else FILES_PER_TRIGGER
     os.makedirs(os.path.dirname(RUNS), exist_ok=True)
-    do_pair(n_urls, n, parts)
+    do_pair(n_urls, n, parts, trigger_dirs=trigger_dirs)
 
 
 def main_hunt() -> None:
@@ -308,10 +311,18 @@ def main_report() -> None:
     def layout(r: dict) -> int:
         return int(r["config"].get("arrival_parts", 1))
 
-    # headline = the realistic multi-part arrival layout when sampled;
-    # the monolithic layout (parts=1) is kept as the attribution exhibit
+    def tdirs(r: dict) -> int:
+        # arrival DIRS consumed per trigger (maxFilesPerTrigger / parts)
+        return int(r["config"].get("files_per_trigger",
+                                   FILES_PER_TRIGGER * layout(r))
+                   // max(layout(r), 1))
+
+    # headline = the realistic multi-part arrival layout at the standard
+    # 2-dirs-per-trigger composition; the monolithic layout (parts=1) and
+    # the bigger-trigger runs are kept as attribution exhibits
     head_parts = max(layout(r) for r in rows)
-    hrows = [r for r in rows if layout(r) == head_parts]
+    hrows = [r for r in rows
+             if layout(r) == head_parts and tdirs(r) == FILES_PER_TRIGGER]
     lo = [r for r in hrows if r["cpus"] == n]
     hi = [r for r in hrows if r["cpus"] == 4 * n]
     if not lo or not hi:
@@ -325,7 +336,8 @@ def main_report() -> None:
     # one row group each -> the per-trigger scan stage is 2 tasks at every
     # core count, a constant ~per-trigger term that caps scaling
     mono = ""
-    mrows = [r for r in rows if layout(r) == 1]
+    mrows = [r for r in rows
+             if layout(r) == 1 and tdirs(r) == FILES_PER_TRIGGER]
     mlo = [r for r in mrows if r["cpus"] == n]
     mhi = [r for r in mrows if r["cpus"] == 4 * n]
     if mlo and mhi and head_parts > 1:
@@ -381,6 +393,38 @@ The fixed machinery is a constant per micro-batch — {blo['micro_batches']}
 triggers pay it at every level regardless of cores (Amdahl term). A real
 deployment amortizes it with bigger micro-batches; the efficiency number
 above charges it in full at this batch size.
+"""
+    # Amortization exhibit: the attribution above calls the fixed trigger
+    # machinery an Amdahl term a real deployment amortizes with bigger
+    # micro-batches — when bigger-trigger samples exist, measure that
+    # claim instead of asserting it.
+    amort = ""
+    arows = [r for r in rows
+             if layout(r) == head_parts and tdirs(r) > FILES_PER_TRIGGER]
+    if arows:
+        td = max(tdirs(r) for r in arows)
+        alo = [r for r in arows if tdirs(r) == td and r["cpus"] == n]
+        ahi = [r for r in arows if tdirs(r) == td and r["cpus"] == 4 * n]
+        if alo and ahi:
+            a, b = (min(x, key=lambda r: r["wall_sec"]) for x in (alo, ahi))
+            asp = round(a["wall_sec"] / b["wall_sec"], 3)
+            amort = f"""
+## Amortization exhibit: bigger micro-batches buy back the fixed term
+
+The attribution charges the fixed per-trigger machinery in full at the
+headline's {blo['micro_batches']}-trigger composition. Same input, same
+operator and state machinery, {td} arrival dirs per trigger instead of
+{FILES_PER_TRIGGER} ({a['micro_batches']} micro-batches instead of
+{blo['micro_batches']}): local[{n}] {a['wall_sec']} s /
+local[{4 * n}] {b['wall_sec']} s → speedup {asp}x, **efficiency
+{round(asp / 4, 3)}** (headline {eff}), throughput at local[{4 * n}]
+{b['urls_per_sec']:,} URLs/s (headline {bhi['urls_per_sec']:,}).
+Emitted set identical ({b['emitted']:,}). Fewer triggers pay the fixed
+term fewer times — measured, not asserted. At the 10^10 design point a
+trigger ingests minutes of crawl output, so the fixed term is noise
+there; this exhibit is the sandbox-scale demonstration of that limit.
+All walls — local[{n}]: {sorted(r['wall_sec'] for r in alo)},
+local[{4 * n}]: {sorted(r['wall_sec'] for r in ahi)}.
 """
     scale = ""
     if scale_rows:
@@ -439,7 +483,7 @@ samples, min per level.
 
 All walls — local[{n}]: {sorted(r['wall_sec'] for r in lo)},
 local[{4 * n}]: {sorted(r['wall_sec'] for r in hi)}.
-{attrib}{mono}{scale}
+{attrib}{amort}{mono}{scale}
 ## The state round-trip was the dominant cost — measured, then removed
 
 A same-session variant decomposition at local[16] (one run each, same
