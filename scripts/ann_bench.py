@@ -129,6 +129,18 @@ qdf = spark.createDataFrame(
 res["batched64"] = timed(
     lambda: similarity.batched_knn(emb, qdf, DIM, k=10).count(), reps=3)
 
+# the bulk-amortization point: 512 queries in ONE pass. The per-task
+# launch + Arrow-transfer overhead that dominates the few-second
+# single-query jobs is paid once per task regardless of query count, so
+# the matmul (which DOES scale with cores) is 8x heavier here — the
+# efficiency of this row is the one a 100 TB batch-scoring job sees.
+q512 = [[float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(512).collect()]
+qdf512 = spark.createDataFrame(
+    [(i, q) for i, q in enumerate(q512)], "q_id long, q_vec array<double>")
+res["batched512"] = timed(
+    lambda: similarity.batched_knn(emb, qdf512, DIM, k=10).count(), reps=2)
+
 # recall guard: approximate paths must actually find the planted best hit
 # (query IS a table row -> its own id must rank first)
 top_lsh = similarity.lsh_topk(emb, q0, DIM, k=1, n_bits=12,
@@ -191,11 +203,17 @@ def main_report() -> None:
     hi = [r for r in rows if r["cpus"] == 4 * n]
     if not lo or not hi:
         raise SystemExit("need samples at both levels")
-    paths = ("brute", "lsh", "ivf", "batched64")
+    paths = ("brute", "lsh", "ivf", "batched64", "batched512")
     best = {}
     for level, rs in (("lo", lo), ("hi", hi)):
         for p in paths:
-            best[(level, p)] = min(min(r[p]) for r in rs)
+            # batched512 postdates the first sample batch — aggregate a
+            # path over whichever samples carry it
+            have = [r for r in rs if p in r]
+            if have:
+                best[(level, p)] = min(min(r[p]) for r in have)
+    paths = tuple(p for p in paths
+                  if ("lo", p) in best and ("hi", p) in best)
     n_vecs = lo[0]["n_vecs"]
     md = os.path.join(REPO, "BENCH", "ANN_BENCH.md")
     with open(md, "w") as f:
@@ -217,6 +235,7 @@ interleaved local[{n}] / local[{4 * n}] samples, min per level;
             "lsh": "SRP bucket prune, probe<=1",
             "ivf": "64 cells / 8 probes",
             "batched64": "64 queries, Arrow matmul (wall for ALL 64)",
+            "batched512": "512 queries, one pass (the bulk-scale row)",
         }
         for p in paths:
             a, b = best[("lo", p)], best[("hi", p)]
@@ -242,12 +261,14 @@ host but only ~1.9× going 8→32 — higher levels measure the
 hypervisor). Few-second single-query jobs remain partly
 scheduling/Arrow-transfer-bound (fixed per-task launch + pickle/Arrow
 overhead does not shrink with cores), so per-query efficiency
-NATURALLY trails the long pipelines (cf. DEDUP_SCALING.md 0.64,
+NATURALLY trails the long pipelines (cf. DEDUP_SCALING.md 0.78,
 STAGE_SCALING 0.857) — the honest scale signals here are the absolute
-latencies and batched64 (the bulk path a 100 TB corpus uses; its
-partial-top-k emits batches × queries × k rows, so its shuffle is
-corpus-size-independent). All sample walls in ann_bench.jsonl
-(archive: ann_bench_n8.jsonl, the same job at 8→32).
+latencies and the batched rows (the bulk path a 100 TB corpus uses;
+partial-top-k emits batches × queries × k rows, so the shuffle is
+corpus-size-independent). batched512 is the amortization point: 8x the
+matmul over the same fixed per-task overhead, so its efficiency — not
+batched64's — is what a real batch-scoring job sees. All sample walls
+in ann_bench.jsonl (archive: ann_bench_n8.jsonl, the same job at 8→32).
 
 Generated by: python scripts/ann_bench.py gen/pair/report {n}
 """)
