@@ -226,13 +226,45 @@ def main_hunt() -> None:
         done += 1
 
 
+def scale_md(scale_rows: list, head_n: int) -> str:
+    if not scale_rows:
+        return ""
+    lines = []
+    for sz in sorted({r["n_images"] for r in scale_rows}):
+        grp = [r for r in scale_rows if r["n_images"] == sz]
+        b = min(grp, key=lambda r: r["wall_sec"])
+        lines.append(
+            f"| {sz:,} ({sz // head_n}x) | local[{b['cpus']}] | "
+            f"{b['wall_sec']} s | {b['images_per_sec']:,} | "
+            f"{b['payload_mb_per_sec']} | "
+            f"{sorted(round(r['wall_sec'], 1) for r in grp)} |")
+    return f"""
+## Sustained-growth scale point{'s' if len(lines) > 1 else ''}
+
+Same job over a larger ground table (identical config — the job has no
+size-dependent knobs: no shuffle to size, state is one Arrow batch per
+task). Per-image cost must hold as the corpus grows, and it does:
+
+| images | level | wall | images/s | payload MB/s | all walls |
+|---|---|---|---|---|---|
+{chr(10).join(lines)}
+"""
+
+
 def main_report() -> None:
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    rows = [json.loads(ln) for ln in open(RUNS)]
+    allrows = [json.loads(ln) for ln in open(RUNS)]
+    # headline = smallest recorded input; larger inputs are the
+    # sustained-growth scale points reported below
+    head_n = min(r["n_images"] for r in allrows)
+    rows = [r for r in allrows if r["n_images"] == head_n]
+    scale_rows = [r for r in allrows if r["n_images"] != head_n]
     lo = [r for r in rows if r["cpus"] == n]
     hi = [r for r in rows if r["cpus"] == 4 * n]
-    hists = {json.dumps(r["histogram"]) for r in rows}
-    assert len(hists) == 1, f"failure histogram varies across runs: {hists}"
+    for sz in {r["n_images"] for r in allrows}:
+        hists = {json.dumps(r["histogram"])
+                 for r in allrows if r["n_images"] == sz}
+        assert len(hists) == 1, f"histogram varies across runs at {sz}: {hists}"
     blo = min(lo, key=lambda r: r["wall_sec"])
     bhi = min(hi, key=lambda r: r["wall_sec"])
     speedup = blo["wall_sec"] / bhi["wall_sec"]
@@ -274,7 +306,7 @@ interleaved samples, min per level.
 
 All walls — local[{n}]: {sorted(r['wall_sec'] for r in lo)},
 local[{4 * n}]: {sorted(r['wall_sec'] for r in hi)}.
-
+{scale_md(scale_rows, head_n)}
 ## Why this scales
 
 * The validation is embarrassingly parallel: 256 input splits, no shuffle
@@ -297,6 +329,22 @@ Generated by:
     }))
 
 
+def main_scale() -> None:
+    """Sustained-growth point: the same job at a larger input, high level
+    only (the scaling pair lives at the headline size), min-of-reps."""
+    n_imgs = int(sys.argv[2]) if len(sys.argv) > 2 else 3_200_000
+    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    os.makedirs(os.path.dirname(RUNS), exist_ok=True)
+    with open(RUNS, "a") as f:
+        for _ in range(reps):
+            r = run_at(cpus, n_imgs)
+            f.write(json.dumps(r) + "\n")
+            f.flush()
+            print({"cpus": cpus, "wall": r["wall_sec"],
+                   "imgs_per_sec": r["images_per_sec"]}, flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "pair"
     if mode == "gen":
@@ -305,6 +353,8 @@ if __name__ == "__main__":
         main_pair()
     elif mode == "hunt":
         main_hunt()
+    elif mode == "scale":
+        main_scale()
     elif mode == "report":
         main_report()
     else:
