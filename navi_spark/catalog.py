@@ -60,11 +60,16 @@ class SnapshotTable:
             return json.load(f)
 
     def history(self) -> list[dict]:
-        """All committed manifests, oldest first (Iceberg history parity)."""
+        """All committed manifests, oldest first (Iceberg history parity).
+        Ancestry older than an `expire_snapshots` cut truncates silently,
+        exactly as Iceberg's history does after expiration."""
         sid = self.snapshot_id()
         out: list[dict] = []
         while sid is not None:
-            m = self._manifest(sid)
+            try:
+                m = self._manifest(sid)
+            except FileNotFoundError:
+                break  # expired ancestry
             out.append(m)
             sid = m["parent"]
         return list(reversed(out))
@@ -133,6 +138,102 @@ class SnapshotTable:
         merged = merged.unionByName(src.select(*tgt.columns))
         # materialize BEFORE overwrite: the plan reads the dirs being replaced
         return self.overwrite(merged.localCheckpoint(eager=True), summary)
+
+    # -- maintenance ---------------------------------------------------------
+    def data_files(self, snapshot_id: Optional[int] = None) -> list[tuple[str, int]]:
+        """(path, size_bytes) of every data file a snapshot references —
+        the information an Iceberg manifest carries per file. Driver-side
+        filesystem metadata, bounded by the file count, which is exactly
+        the quantity compact() keeps bounded."""
+        sid = self.snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            return []
+        out: list[tuple[str, int]] = []
+        for d in self._manifest(sid)["dirs"]:
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".parquet"):
+                    p = os.path.join(d, name)
+                    out.append((p, os.path.getsize(p)))
+        return out
+
+    def compact(self, target_file_bytes: int = 128 << 20, min_files: int = 8,
+                summary: Optional[dict] = None) -> Optional[int]:
+        """Bin-pack small data files into ~target-size ones (Iceberg's
+        ``rewrite_data_files(strategy => 'binpack')``).
+
+        Every per-wave append adds a directory of up-to-shuffle-partitions
+        part-files, so after W waves a scan schedules O(W × partitions)
+        tasks and the manifest lists as many files — the small-files
+        problem that dominates table maintenance at the 10^10-row design
+        point. compact() reads HEAD and commits a data-identical REPLACE
+        snapshot written as ceil(total_bytes / target_file_bytes) balanced
+        files via ``coalesce`` — a shuffle-free rewrite where each output
+        task concatenates ~files/n similar-sized inputs.
+
+        Time travel to pre-compaction snapshots is untouched (old dirs
+        stay until expire_snapshots); a crash mid-compaction leaves HEAD
+        on the parent like any torn commit; the engine's resume() may roll
+        a compaction back, which only re-exposes the same rows in more
+        files. Returns the new snapshot id, or None when the table already
+        has fewer than `min_files` files or is already at the target
+        granularity (file-count probe only — no data is read)."""
+        files = self.data_files()
+        if len(files) < min_files:
+            return None
+        total = sum(sz for _, sz in files)
+        nparts = max(1, -(-total // max(target_file_bytes, 1)))
+        if nparts >= len(files):
+            return None
+        base = dict(summary or {})
+        base.update({"operation": "compact", "files_before": len(files),
+                     "files_target": int(nparts), "bytes": total})
+        return self.overwrite(self.read().coalesce(int(nparts)), base)
+
+    def expire_snapshots(self, retain_last: int = 1,
+                         retain_ids: Optional[set[int]] = None,
+                         clean_orphans: bool = False) -> dict:
+        """Iceberg ``expire_snapshots`` (+ ``remove_orphan_files`` when
+        `clean_orphans`). Keeps the newest `retain_last` snapshots on the
+        HEAD lineage plus any in `retain_ids` (e.g. the ids recorded in
+        the engine's last consistent cut, which resume() may still roll
+        back to), deletes the expired manifests, then removes every data
+        directory no manifest still on disk references. Manifests from
+        abandoned rollback forks keep protecting their dirs unless
+        `clean_orphans` scrubs directories referenced by NO manifest
+        (debris of torn commits). Manifests are deleted before data dirs,
+        so a partial expiration never leaves a readable snapshot whose
+        data is gone."""
+        if self.snapshot_id() is None:
+            return {"expired": 0, "dirs_removed": 0, "bytes_reclaimed": 0}
+        lineage = self.history()
+        keep = {m["snapshot_id"] for m in lineage[-max(retain_last, 1):]}
+        keep |= set(retain_ids or ())
+        expired = [m for m in lineage if m["snapshot_id"] not in keep]
+        mdir = os.path.join(self.root, "manifests")
+        expired_dirs: set[str] = set()
+        for m in expired:
+            expired_dirs |= set(m["dirs"])
+            os.remove(os.path.join(mdir, f"{m['snapshot_id']}.json"))
+        still_referenced: set[str] = set()
+        for name in os.listdir(mdir):
+            with open(os.path.join(mdir, name)) as f:
+                still_referenced |= set(json.load(f)["dirs"])
+        removed, reclaimed = 0, 0
+        droot = os.path.join(self.root, "data")
+        for name in sorted(os.listdir(droot)):
+            d = os.path.join(droot, name)
+            if d in still_referenced:
+                continue
+            if not clean_orphans and d not in expired_dirs:
+                continue
+            reclaimed += sum(
+                os.path.getsize(os.path.join(dp, fn))
+                for dp, _, fns in os.walk(d) for fn in fns
+            )
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
+        return {"expired": len(expired), "dirs_removed": removed,
+                "bytes_reclaimed": reclaimed}
 
     def rollback(self, snapshot_id: int) -> None:
         """Point HEAD at an earlier snapshot (Iceberg rollback)."""

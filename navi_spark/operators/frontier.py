@@ -272,6 +272,49 @@ class CrawlEngine:
             elif cur > rec:
                 self.t[name].rollback(rec)
 
+    def maintain(self, target_file_bytes: int = 128 << 20, min_files: int = 8,
+                 retain_snapshots: int = 2) -> dict:
+        """Between-waves table maintenance barrier (Iceberg's
+        rewrite_data_files + expire_snapshots, which the reference never
+        needs — its whole state is three JSON files — but a 10^10-row
+        table does: W waves × P shuffle partitions of appends is a scan
+        with O(W×P) tasks and an O(W×P)-entry manifest).
+
+        Three crash-safe steps, in an order resume() can always unwind:
+        (1) compact every fragmented data table (data-identical REPLACE
+        commits — a crash here makes resume() roll them back using the
+        still-present parent manifests); (2) commit a fresh `state` row so
+        the recorded consistent cut points at the compacted snapshots;
+        (3) expire snapshot history down to `retain_snapshots` per table
+        (manifests deleted before data dirs, so survivors stay readable
+        mid-crash). Returns per-table stats."""
+        stats: dict[str, dict] = {}
+        for name in self.TABLES:
+            if name == "state" or not self.t[name].exists():
+                continue
+            before = len(self.t[name].data_files())
+            sid = self.t[name].compact(target_file_bytes, min_files,
+                                       {"wave": self.wave_id})
+            stats[name] = {"files_before": before,
+                           "files_after": len(self.t[name].data_files()),
+                           "compacted": sid is not None}
+        done = self.t["state"].read().collect()[0]["done"]
+        self.t["state"].overwrite(
+            self.spark.createDataFrame(
+                [(self.wave_id, self.budget_consumed, done,
+                  self._snapshot_map())], STATE_SCHEMA
+            ),
+            {"op": "maintain", "wave": self.wave_id},
+        )
+        for name in self.TABLES:
+            if not self.t[name].exists():
+                continue
+            exp = self.t[name].expire_snapshots(
+                retain_last=retain_snapshots, clean_orphans=True
+            )
+            stats.setdefault(name, {}).update(exp)
+        return stats
+
     # -- the wave ------------------------------------------------------------
     def wave(self) -> WaveStats:
         cfg = self.cfg

@@ -175,6 +175,35 @@ def test_resume_equivalence(spark, universe, oracle_result):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def test_maintain_mid_crawl_invisible(spark, universe, oracle_result):
+    """maintain() between waves (compaction + snapshot expiration, the
+    Iceberg rewrite_data_files/expire_snapshots barrier) is invisible to
+    crawl semantics: resume from the post-maintenance checkpoint, finish,
+    and the final state is identical to the uninterrupted run."""
+    workdir = tempfile.mkdtemp(prefix="navi-mnt-")
+    try:
+        eng, seeds = _mk_engine(spark, universe, workdir)
+        eng.bootstrap(seeds)
+        eng.run(max_waves=2)
+        stats = eng.maintain(target_file_bytes=1 << 30, min_files=2,
+                             retain_snapshots=2)
+        assert any(v.get("compacted") for v in stats.values())
+        compacted = [n for n, v in stats.items() if v.get("compacted")]
+        for name in compacted:  # fewer, bigger files after the rewrite
+            assert stats[name]["files_after"] <= stats[name]["files_before"]
+
+        eng2, _ = _mk_engine(spark, universe, workdir)  # "crash" here
+        eng2.resume()
+        assert eng2.wave_id == 2
+        eng2.run(max_waves=30)
+        visit, seen, counts = _engine_state(eng2)
+        assert visit == oracle_result.visit_order
+        assert seen == oracle_result.seen
+        assert counts == oracle_result.host_counts
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def test_no_bloom_same_result(spark, universe, oracle_result):
     """Bloom is a pure pre-filter: disabling it must not change anything."""
     workdir = tempfile.mkdtemp(prefix="navi-nb-")
