@@ -22,6 +22,7 @@ scripts/bench_scaling.py → BENCH/BASELINE.md.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -103,11 +104,18 @@ def frontier_throughput(
         with_children=False,
     ).select("url")
     # pre-seeded seen set: ~30% of the canonical universe (forces a real
-    # anti-join against a table of the same magnitude as the frontier)
+    # anti-join against a table of the same magnitude as the frontier).
+    # The selector hashes (url, 7) — NOT the bare url — because rank below
+    # is pmod(xxhash64(url), 1000)/1000: selecting seen by the same hash
+    # empties every rank bucket ≡ 0,1,2 (mod 10) after the anti-join, and
+    # at 50M urls the 1.5k/r_total head threshold then spans so few grid
+    # values ({0,.001,...,.004}, 2 of 5 non-empty) that the head starves
+    # and the guard silently reroutes the run to the slow exact-orderBy
+    # path (first tripped on the 100x point; seed 7 decorrelates them)
     seen = (
         generate_urls(spark, n_urls, n_hosts=n_hosts, parts=parts,
                       dirty=False, with_children=False)
-        .filter(F.pmod(F.xxhash64("url"), F.lit(10)) < 3)
+        .filter(F.pmod(F.xxhash64(F.col("url"), F.lit(7)), F.lit(10)) < 3)
         .select("url")
     )
     seen.cache().count()  # materialize outside the timed section
@@ -178,7 +186,12 @@ def frontier_throughput(
     # came up short.
     k = 100_000
     if k < r_total:
-        head = sel.filter(F.col("rank") <= min(1.0, 1.5 * k / r_total))
+        # rank lives on a 1/1000 grid (reference formula: hash%1000/1000),
+        # so ceil the threshold to the next grid value — a raw 1.5k/r_total
+        # that falls between grid points keeps fewer whole buckets than the
+        # uniform[0,1] math assumes once r_total >> 1000*k
+        thr = min(1.0, math.ceil(1500.0 * k / r_total) / 1000.0)
+        head = sel.filter(F.col("rank") <= thr)
     else:
         head = sel
     scheduled = head.orderBy("rank", "url").limit(k).count()
@@ -594,6 +607,15 @@ def main() -> None:
                 "served_index_layout": True,   # embedded lengths + idf tab
                 "index_partitions": 8,          # sized to the sf0.1 corpus
                 "aqe_coalesce_serving": True,
+            },
+            # round-5 frontier-proxy fixes (headline effect is sub-noise —
+            # the anti-join stays the same size; the head into TakeOrdered
+            # grows ~105k → ~150k rows out of 35M-row stages — but the 100x
+            # point changes regime: pre-fix it silently fell back to the
+            # exact full orderBy):
+            "frontier_proxy": {
+                "seen_hash_decorrelated": True,  # xxhash64(url, 7) selector
+                "head_threshold_grid_ceil": True,
             },
         },
     }

@@ -104,7 +104,12 @@ def main_pair() -> None:
                 # currently ships shuffle compression OFF on tmpfs dirs
                 rec = {"job": job, "cpus": cpus,
                        "config": {"shuffle_compress": False,
-                                  "local_dir_tmpfs": True}, **r}
+                                  "local_dir_tmpfs": True,
+                                  # round-5 fix: samples with this tag use
+                                  # the decorrelated seen hash + grid-ceil
+                                  # head threshold (bench.py); older rows
+                                  # without it predate the fix
+                                  "frontier_proxy_fix": True}, **r}
                 f.write(json.dumps(rec) + "\n")
                 f.flush()
                 print(rec, flush=True)

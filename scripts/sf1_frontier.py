@@ -1,10 +1,14 @@
-"""Single-config 10x frontier scale point (VERDICT r04 #6).
+"""Single-config 10x/100x frontier scale chain.
 
 One session, the SHIPPING bench config (bench.build_session: tmpfs
-shuffle dirs, compression off), calibration-bracketed: 500k and 5M
-points measured back-to-back with full warmup + min-of-3 each, so the
-500k -> 5M chain is same-config, same-session, same host window.
-Overwrites BENCH/SF1_FRONTIER.json.
+shuffle dirs, compression off), calibration-bracketed: 500k, 5M and 50M
+points measured back-to-back with full warmup + min-of-N each, so the
+500k -> 5M -> 50M chain is same-config, same-session, same host window.
+The 50M point (100x the headline, 12g heap / 64 fixed partitions
+unchanged) is the design-point trajectory toward the 10^10-URL north
+star: per-URL cost must not grow with frontier size, and it falls.
+Overwrites BENCH/SF1_FRONTIER.json. Pass --no-50m to skip the 100x
+point (~2 min per rep).
 """
 
 from __future__ import annotations
@@ -21,6 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    with_50m = "--no-50m" not in sys.argv
     spark = build_session(32)
     spark.sparkContext.setLogLevel("ERROR")
     # two-step warmup to steady state (C2-JIT keeps compiling through the
@@ -30,25 +35,28 @@ def main() -> None:
     calib_pre = calibration(spark)
     p500k = [frontier_throughput(spark, 500_000, 1_000) for _ in range(3)]
     p5m = [frontier_throughput(spark, 5_000_000, 10_000) for _ in range(3)]
+    p50m = ([frontier_throughput(spark, 50_000_000, 100_000)
+             for _ in range(2)] if with_50m else [])
     calib_post = calibration(spark, reps=2)
     spark.stop()
     best5 = min(p5m, key=lambda r: r["wall_sec"])
     best500 = min(p500k, key=lambda r: r["wall_sec"])
+    points = {
+        "500k": {"best": best500,
+                 "all_walls": sorted(r["wall_sec"] for r in p500k)},
+        "5M": {"best": best5,
+               "all_walls": sorted(r["wall_sec"] for r in p5m)},
+    }
     out = {
         "protocol": "one session, shipping config (compression off, tmpfs),"
-                    " full-size warmup, min-of-3 per size, calibration-"
-                    "bracketed",
+                    " full-size warmup, min-of-3 per size (min-of-2 at 50M),"
+                    " calibration-bracketed",
         "config": {"shuffle_compress": False, "local_dir_tmpfs": True,
-                   "partitions": 64},
+                   "partitions": 64, "driver_memory": "12g"},
         "calibration_sec": min(calib_pre + calib_post),
         "calibration_ref_sec": CALIBRATION_REF_SEC,
         "calibration_samples": {"pre": calib_pre, "post": calib_post},
-        "points": {
-            "500k": {"best": best500,
-                     "all_walls": sorted(r["wall_sec"] for r in p500k)},
-            "5M": {"best": best5,
-                   "all_walls": sorted(r["wall_sec"] for r in p5m)},
-        },
+        "points": points,
         "per_url_ratio": round(
             (best5["wall_sec"] / 5e6) / (best500["wall_sec"] / 5e5), 3
         ),
@@ -56,9 +64,19 @@ def main() -> None:
                 "than the headline size (fixed overhead amortizes; "
                 "job/stage structure unchanged).",
     }
+    if with_50m:
+        best50 = min(p50m, key=lambda r: r["wall_sec"])
+        points["50M"] = {"best": best50,
+                         "all_walls": sorted(r["wall_sec"] for r in p50m)}
+        out["per_url_ratio_100x"] = round(
+            (best50["wall_sec"] / 5e7) / (best500["wall_sec"] / 5e5), 3
+        )
     path = os.path.join(REPO, "BENCH", "SF1_FRONTIER.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
+    if with_50m:
+        print(json.dumps({"50M": points["50M"]["best"]["wall_sec"],
+                          "per_url_ratio_100x": out["per_url_ratio_100x"]}))
     print(json.dumps({"500k": best500["wall_sec"], "5M": best5["wall_sec"],
                       "calibration": out["calibration_sec"]}))
     print(f"wrote {path}")
