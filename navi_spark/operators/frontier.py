@@ -276,9 +276,10 @@ class CrawlEngine:
                  retain_snapshots: int = 2) -> dict:
         """Between-waves table maintenance barrier (Iceberg's
         rewrite_data_files + expire_snapshots, which the reference never
-        needs — its whole state is three JSON files — but a 10^10-row
-        table does: W waves × P shuffle partitions of appends is a scan
-        with O(W×P) tasks and an O(W×P)-entry manifest).
+        needs — its whole state is three JSON files rewritten wholesale,
+        crawler/WebCrawler.java:135-172 — but a 10^10-row table does:
+        W waves × P shuffle partitions of appends is a scan with O(W×P)
+        tasks and an O(W×P)-entry manifest).
 
         Three crash-safe steps, in an order resume() can always unwind:
         (1) compact every fragmented data table (data-identical REPLACE
