@@ -115,6 +115,11 @@ def main_pair() -> None:
                 print(rec, flush=True)
 
 
+# First hand-maintained section of BENCH/BASELINE.md; report mode regenerates
+# only the text above this heading and keeps everything from it onward.
+PRESERVE_MARKER = "## All-family scaling scoreboard"
+
+
 def main_report() -> None:
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     rows = [json.loads(ln) for ln in open(RUNS)]
@@ -141,6 +146,17 @@ def main_report() -> None:
     print(json.dumps(out, indent=2))
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     k, fu = out.get("kernel", {}), out.get("full", {})
+    # BASELINE.md carries hand-maintained sections beyond this template
+    # (the all-family scoreboard + per-round addenda). Report mode rewrites
+    # only the generated head; everything from PRESERVE_MARKER on survives.
+    preserved = ""
+    try:
+        old = open(path).read()
+        idx = old.find(PRESERVE_MARKER)
+        if idx >= 0:
+            preserved = old[idx:]
+    except FileNotFoundError:
+        pass
     with open(path, "w") as f:
         f.write(f"""# BENCH/BASELINE.md — frontier throughput + scaling efficiency
 
@@ -176,7 +192,8 @@ local[{4*n}]: {k.get(f'all_walls_local[{4*n}]','—')};
 full local[{n}]: {fu.get(f'all_walls_local[{n}]','—')},
 local[{4*n}]: {fu.get(f'all_walls_local[{4*n}]','—')}.
 
-## Measurement hygiene (all items measured; see commit history)
+""")
+        f.write(preserved if preserved else f"""## Measurement hygiene (all items measured; see commit history)
 
 * **Shared-hypervisor noise**: identical Spark runs vary up to 2× wall
   (9.7s ↔ 20.3s); hence interleaved sampling + min. Host calibration: a
