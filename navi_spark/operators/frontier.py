@@ -225,9 +225,18 @@ class CrawlEngine:
         )
 
     # -- bootstrap / resume --------------------------------------------------
-    def bootstrap(self, seeds: list[str]) -> None:
-        """Seed source (C1): normalize, drop invalid, load the frontier."""
-        seed_df = self.spark.createDataFrame([(s,) for s in seeds], "raw string")
+    def bootstrap(self, seeds: "list[str] | DataFrame") -> None:
+        """Seed source (C1): normalize, drop invalid, load the frontier.
+
+        Accepts a driver-side list (reference parity: WebCrawler reads its
+        seed file into memory) or a single-string-column DataFrame — at
+        10^10-URL scale the seed list IS a table, and a driver-side list
+        would be the exact collect-everything bug the engine bans."""
+        if isinstance(seeds, DataFrame):
+            seed_df = seeds.toDF("raw")
+        else:
+            seed_df = self.spark.createDataFrame(
+                [(s,) for s in seeds], "raw string")
         normed = seed_df.select(
             normalize_url_udf(F.col("raw")).alias("url")
         ).filter(F.col("url").isNotNull())

@@ -1,0 +1,354 @@
+"""Scaling-efficiency evidence for the COMPOSED CrawlEngine (engine-level).
+
+Every other scaling row measures a kernel or the bench facsimile of the
+wave core; this harness measures the real thing: one full
+``CrawlEngine.wave()`` — frontier dedup, bloom/cuckoo seen pre-filter +
+exact anti-join, robots gate, two-level salted politeness,
+threshold-bounded budget top-k, fetch join against the image store,
+**payload validation ON** (decoded-pixel allclose / PSNR≥40dB + caption
+equality, the north-star invariant), link extraction, seen/state commits
+— driven end-to-end over parquet tables both parallelism levels read
+byte-identically.
+
+Protocol is the repo standard (BENCH/BASELINE.md): no real cluster in
+this sandbox, so the north rule's two-cluster-size criterion is evidenced
+by the IDENTICAL job (fixed 64 shuffle partitions, fixed 16 host
+partitions, identical configs, same input parquet) at local[N] vs
+local[4N], taskset-bound fresh JVM per run, in-JVM warmup (a complete
+small engine run), INTERLEAVED samples, min per level. Per-stage wall /
+CPU / shuffle bytes from the Spark REST API for attribution.
+
+Seeds load through ``CrawlEngine.bootstrap`` with a DataFrame (the
+10^10-scale seed path — no driver-side list).
+
+Usage:
+  python scripts/engine_scaling.py gen [n_urls]      # write web+images+
+        robots parquet to /dev/shm (once; both levels read the same bytes)
+  python scripts/engine_scaling.py pair [n_urls] [N] # one interleaved
+        N/4N sample -> append BENCH/engine_scaling.jsonl
+  python scripts/engine_scaling.py hunt [n_urls] [N] [max_pairs] [factor]
+  python scripts/engine_scaling.py report [N]        # aggregate minima
+        -> BENCH/ENGINE_SCALING.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUNS = os.path.join(REPO, "BENCH", "engine_scaling.jsonl")
+
+
+def base_path(n_urls: int) -> str:
+    return f"/dev/shm/navi-engine-{n_urls}"
+
+
+GEN_CHILD = r"""
+import sys
+sys.path.insert(0, sys.argv[3])
+from bench import build_session
+from navi_spark.sources.datagen import generate_images, generate_robots, generate_web
+n_urls = int(sys.argv[1]); base = sys.argv[2]
+n_hosts = max(n_urls // 500, 10)
+spark = build_session(32)
+spark.sparkContext.setLogLevel("ERROR")
+generate_web(spark, n_urls, n_hosts, parts=64).write.mode(
+    "overwrite").parquet(base + "/web.parquet")
+generate_images(spark, n_urls, parts=64).write.mode(
+    "overwrite").parquet(base + "/images.parquet")
+generate_robots(spark, n_hosts).write.mode(
+    "overwrite").parquet(base + "/robots.parquet")
+print("GEN_OK", spark.read.parquet(base + "/web.parquet").count(),
+      spark.read.parquet(base + "/images.parquet").count())
+spark.stop()
+"""
+
+CHILD = r"""
+import json, shutil, sys, tempfile, time, urllib.request
+sys.path.insert(0, sys.argv[4])
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+from navi_spark.operators.frontier import CrawlConfig, CrawlEngine
+from navi_spark.sources.datagen import (
+    canonical_url, generate_images, generate_robots, generate_web)
+cpus = int(sys.argv[1]); n_urls = int(sys.argv[2]); base = sys.argv[3]
+parts = int(sys.argv[5]) if len(sys.argv) > 5 else 64
+dmem = sys.argv[6] if len(sys.argv) > 6 else "12g"
+n_hosts = max(n_urls // 500, 10)
+spark = (
+    SparkSession.builder.master(f"local[{cpus}]")
+    .appName("navi-engine-scaling")
+    .config("spark.sql.shuffle.partitions", str(parts))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    .config("spark.local.dir", "/dev/shm/spark-local")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.driver.memory", dmem)
+    .config("spark.driver.extraJavaOptions",
+            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus}")
+    .config("spark.shuffle.compress", "false")
+    .config("spark.shuffle.spill.compress", "false")
+    .config("spark.ui.enabled", "true")
+    .config("spark.ui.port", str(4241 + cpus))
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+def make_engine(web, images, robots, n_u, n_h, workdir):
+    cfg = CrawlConfig(
+        max_depth=50, max_pages=n_u, max_pages_per_domain=100,
+        wave_budget=max(n_u // 10, 1000), n_host_partitions=16,
+        salt_buckets=8, validate_payloads=True,
+    )
+    eng = CrawlEngine(spark, workdir, web, images, robots, cfg)
+    eng.bootstrap(web.select("url"))
+    return eng
+
+# in-JVM warmup: a COMPLETE small engine (inline datagen, not the measured
+# parquet) runs bootstrap + one wave so codegen/JIT, Arrow workers and the
+# snapshot-table machinery hit steady state at both levels identically
+wu_n, wu_h = 30000, 60
+wd_wu = tempfile.mkdtemp(prefix="navi-engwu-", dir="/dev/shm")
+wu = make_engine(generate_web(spark, wu_n, wu_h, parts=16).cache(),
+                 generate_images(spark, wu_n, parts=16),
+                 generate_robots(spark, wu_h), wu_n, wu_h, wd_wu)
+wu.wave()
+shutil.rmtree(wd_wu, ignore_errors=True)
+
+web = spark.read.parquet(base + "/web.parquet")
+images = spark.read.parquet(base + "/images.parquet")
+robots = spark.read.parquet(base + "/robots.parquet")
+workdir = tempfile.mkdtemp(prefix="navi-engine-", dir="/dev/shm")
+eng = make_engine(web, images, robots, n_urls, n_hosts, workdir)
+
+ui = spark.sparkContext.uiWebUrl
+app = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))[0]["id"]
+def stages():
+    return json.load(urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app}/stages?status=complete"))
+before = {s["stageId"] for s in stages()}
+
+t0 = time.monotonic()
+stats = eng.wave()
+wall = time.monotonic() - t0
+
+rows = []
+for s in stages():
+    if s["stageId"] in before:
+        continue
+    rows.append({
+        "stageId": s["stageId"],
+        "name": s["name"].split("\n")[0][:70],
+        "tasks": s["numCompleteTasks"],
+        "submission": s.get("firstTaskLaunchedTime") or s.get("submissionTime"),
+        "completion": s.get("completionTime"),
+        "run_ms": s.get("executorRunTime", 0),
+        "cpu_ms": int(s.get("executorCpuTime", 0) / 1e6),
+        "sh_r_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+        "sh_w_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+        "sh_r_rows": s.get("shuffleReadRecords", 0),
+        "sh_w_rows": s.get("shuffleWriteRecords", 0),
+        "in_rows": s.get("inputRecords", 0),
+    })
+rows.sort(key=lambda x: x["stageId"])
+print("RESULT " + json.dumps({
+    "cpus": cpus, "n_urls": n_urls, "wall_sec": round(wall, 3),
+    "scheduled": stats.scheduled, "attempted": stats.attempted,
+    "fetched": stats.fetched, "expanded": stats.expanded,
+    "scheduled_per_sec": round(stats.scheduled / wall, 1),
+    "config": {"shuffle_compress": False, "local_dir_tmpfs": True,
+               "partitions": parts, "driver_memory": dmem,
+               "validate_payloads": True, "seed_source": "dataframe"},
+    "stages": rows,
+}))
+shutil.rmtree(workdir, ignore_errors=True)
+spark.stop()
+"""
+
+
+def run_at(cpus: int, n_urls: int, parts: int = 64,
+           dmem: str = "12g") -> dict:
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, "-c", CHILD, str(cpus), str(n_urls),
+         base_path(n_urls), REPO, str(parts), dmem],
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"child failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+def main_gen() -> None:
+    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    base = base_path(n_urls)
+    if os.path.exists(base + "/web.parquet"):
+        print(f"exists: {base}")
+        return
+    out = subprocess.run(
+        [sys.executable, "-c", GEN_CHILD, str(n_urls), base, REPO],
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    if "GEN_OK" not in out.stdout:
+        raise RuntimeError(out.stdout[-2000:] + out.stderr[-2000:])
+    print(f"wrote {base}")
+
+
+def do_pair(n_urls: int, n: int, window: dict | None = None) -> None:
+    with open(RUNS, "a") as f:
+        for cpus in (n, 4 * n):
+            r = run_at(cpus, n_urls)
+            if window:
+                r["host_window"] = window
+            f.write(json.dumps(r) + "\n")
+            f.flush()
+            print({"cpus": cpus, "wall": r["wall_sec"],
+                   "scheduled": r["scheduled"],
+                   "fetched": r["fetched"]}, flush=True)
+
+
+def main_pair() -> None:
+    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    os.makedirs(os.path.dirname(RUNS), exist_ok=True)
+    do_pair(n_urls, n)
+
+
+def main_hunt() -> None:
+    """Probe-gated sampling (see scripts/submit_scaling.py hunt): spend a
+    pair only when the host's cpu+shuffle probes are within `factor` of
+    their committed quiet floors; the admitting probe is recorded in each
+    sample. Usage: engine_scaling.py hunt [n_urls] [N] [max_pairs]
+    [factor]."""
+    import time as _time
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    sys.path.insert(0, REPO)
+    import bench
+    from submit_scaling import probe_window
+
+    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    max_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    factor = float(sys.argv[5]) if len(sys.argv) > 5 else 1.6
+    os.makedirs(os.path.dirname(RUNS), exist_ok=True)
+    done = 0
+    while done < max_pairs:
+        w = probe_window()
+        quiet = (
+            min(w["cpu"]) <= factor * bench.CALIBRATION_REF_SEC
+            and min(w["shuffle"]) <= factor * bench.SHUFFLE_CALIBRATION_REF_SEC
+        )
+        print(json.dumps({"probe": w, "quiet": quiet}), flush=True)
+        if quiet:
+            do_pair(n_urls, n, window=w)
+            done += 1
+        else:
+            _time.sleep(240)
+
+
+def _ts(s: str | None) -> float | None:
+    if not s:
+        return None
+    return datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%fGMT").timestamp()
+
+
+def _stage_wall(s: dict) -> float:
+    a, b = _ts(s.get("submission")), _ts(s.get("completion"))
+    return round(b - a, 3) if a and b else 0.0
+
+
+def main_report() -> None:
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    rows = [json.loads(ln) for ln in open(RUNS)]
+    lo = [r for r in rows if r["cpus"] == n]
+    hi = [r for r in rows if r["cpus"] == 4 * n]
+    blo = min(lo, key=lambda r: r["wall_sec"])
+    bhi = min(hi, key=lambda r: r["wall_sec"])
+    eff = round(blo["wall_sec"] / bhi["wall_sec"] / 4.0, 3)
+    out = {
+        "n_urls": blo["n_urls"],
+        f"local[{n}]_wall": blo["wall_sec"],
+        f"local[{4*n}]_wall": bhi["wall_sec"],
+        f"local[{n}]_scheduled_per_sec": blo["scheduled_per_sec"],
+        f"local[{4*n}]_scheduled_per_sec": bhi["scheduled_per_sec"],
+        "samples": [len(lo), len(hi)],
+        "speedup": round(blo["wall_sec"] / bhi["wall_sec"], 3),
+        "efficiency": eff,
+        f"all_walls_local[{n}]": sorted(r["wall_sec"] for r in lo),
+        f"all_walls_local[{4*n}]": sorted(r["wall_sec"] for r in hi),
+    }
+    print(json.dumps(out, indent=2))
+
+    # per-stage attribution of the best pair
+    def table(r):
+        lines = ["| stage | tasks | wall s | cpu s | sh W MB | name |",
+                 "|---|---|---|---|---|---|"]
+        tot = sorted(r["stages"], key=lambda s: -s["run_ms"])[:10]
+        for s in sorted(tot, key=lambda s: s["stageId"]):
+            lines.append(
+                f"| {s['stageId']} | {s['tasks']} | {_stage_wall(s)} | "
+                f"{round(s['cpu_ms'] / 1000, 1)} | {s['sh_w_mb']} | "
+                f"{s['name']} |")
+        return "\n".join(lines)
+
+    path = os.path.join(REPO, "BENCH", "ENGINE_SCALING.md")
+    with open(path, "w") as f:
+        f.write(f"""# BENCH/ENGINE_SCALING.md — composed-engine scaling (real CrawlEngine.wave)
+
+Every other scaling row measures a kernel or the bench facsimile; this row
+is the COMPOSED engine: one full `CrawlEngine.wave()` over parquet web /
+image-store / robots tables ({blo['n_urls']:,} URLs, payload validation ON
+— decoded-pixel allclose / PSNR≥40dB + caption equality — seeds loaded via
+the DataFrame bootstrap path, no driver-side list). Fixed 64 shuffle
+partitions + 16 host partitions at both levels; taskset-bound fresh JVM
+per run, complete small-engine in-JVM warmup, interleaved samples, min
+per level (protocol of BENCH/BASELINE.md).
+
+| level | wall s | scheduled/s | samples (all walls) |
+|---|---|---|---|
+| local[{n}] | {blo['wall_sec']} | {blo['scheduled_per_sec']} | {out[f'all_walls_local[{n}]']} |
+| local[{4*n}] | {bhi['wall_sec']} | {bhi['scheduled_per_sec']} | {out[f'all_walls_local[{4*n}]']} |
+
+**speedup {out['speedup']}× / 4 cores → scaling efficiency {eff}**
+
+Wave outcome (identical at both levels): scheduled {blo['scheduled']:,},
+attempted {blo['attempted']:,}, fetched {blo['fetched']:,}, expanded
+{blo['expanded']:,}.
+
+## Per-stage attribution — best local[{n}] run
+
+{table(blo)}
+
+## Per-stage attribution — best local[{4*n}] run
+
+{table(bhi)}
+
+Generated by:
+  python scripts/engine_scaling.py gen {blo['n_urls']}
+  python scripts/engine_scaling.py hunt {blo['n_urls']} {n} S
+  python scripts/engine_scaling.py report {n}
+""")
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "pair"
+    if mode == "gen":
+        main_gen()
+    elif mode == "pair":
+        main_pair()
+    elif mode == "hunt":
+        main_hunt()
+    elif mode == "report":
+        main_report()
+    else:
+        raise SystemExit(f"unknown mode {mode}")
