@@ -97,6 +97,18 @@ def validate_payload_udf(
     )
 
 
+# The validator IS a pure function of its inputs, but Catalyst must never
+# relocate or clone it: left as deterministic, the optimizer (a) pushes
+# _fail-referencing predicates through the fetch join and re-evaluates the
+# decode below it, and (b) collapses the verdict projection under the
+# store semi-join — both measured on a 4M-image store as a full-store
+# decode (~1,100 python-core-s, 5x the attempted sliver) with the UDF
+# appearing TWICE in the executed plan. asNondeterministic() is Spark's
+# supported pin for exactly this: evaluate once, where written
+# (tests/test_plans.py asserts the decode stays above the semi-join).
+validate_payload_udf = validate_payload_udf.asNondeterministic()
+
+
 def payload_etag(phash_col: str = "phash", caption_col: str = "caption") -> Column:
     """Synthetic server ETag (C13): an opaque validator that is a pure
     function of the payload version, so it changes exactly when content

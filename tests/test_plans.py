@@ -273,3 +273,27 @@ def test_curate_corpus_one_pass_one_exchange(spark, sf_dir):
     cols = scan_columns(df)
     # column pruning: only doc_id/text/n_chars leave the documents scan
     assert cols and all(len(c) <= 3 for c in cols), cols
+
+
+def test_payload_validation_not_relocated_below_store_semi_join(spark):
+    """The decode UDF must evaluate ONCE, on the semi-join-pruned sliver —
+    left deterministic, Catalyst pushes _fail predicates through the fetch
+    join and re-runs the decode over the FULL store scan (measured: 4M
+    decodes for an 800k-attempt wave, the UDF twice in one plan). Guards
+    the asNondeterministic pin on validate_payload_udf (fetch.py)."""
+    from navi_spark.operators.fetch import validate_payload_udf
+    from navi_spark.sources.datagen import generate_images
+
+    img = generate_images(spark, 200, parts=2)
+    keys = spark.range(50).select(
+        F.format_string("img%010d", F.col("id") * 3).alias("image_id"))
+    hit = img.join(F.broadcast(keys), on="image_id", how="left_semi")
+    meta = hit.withColumn(
+        "_fail",
+        validate_payload_udf("image_id", "bytes", "fmt", "w", "h", "caption"),
+    )
+    # downstream predicate on the verdict — the pushdown bait
+    plan = (meta.filter(F.col("_fail").isNotNull())
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.index("ArrowEvalPython") < plan.index("BroadcastHashJoin"), plan
