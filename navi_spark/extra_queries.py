@@ -27,7 +27,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from navi_spark.queries import _EN_TRIGRAMS, load
+from navi_spark.queries import _EN_TRIGRAMS, _TOKENS_SQL, _tokens, load
 
 _REGISTRY: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]
@@ -285,6 +285,26 @@ def q4_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(5)
         .select("doc_id", F.col("text").alias("suggestion"))
+    )
+
+
+@_q(
+    "r5_candidate_union",
+    f"""
+    SELECT DISTINCT doc_id FROM ({_TOKENS_SQL})
+    WHERE word IN ('spark', 'merge', 'window')
+    """,
+)
+def r5_candidate_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 `commonDocs`: UNION of per-term doc sets (Ranker.java:174-216 —
+    a union despite the name). Demoted from the certified registry in
+    favor of c7_budget_topk_scale (round-5 rotation); R5 remains
+    driver-certified inside r3_bm25's candidate stage."""
+    return (
+        _tokens(spark, sf_dir)
+        .filter(F.col("word").isin("spark", "merge", "window"))
+        .select("doc_id")
+        .distinct()
     )
 
 

@@ -1468,27 +1468,45 @@ def c21_recrawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_q(
-    "r5_candidate_union",
-    f"""
-    SELECT DISTINCT doc_id FROM ({_TOKENS_SQL})
-    WHERE word IN ('spark', 'merge', 'window')
+    "c7_budget_topk_scale",
+    """
+    SELECT url, rank FROM (
+        SELECT CAST(l_orderkey AS VARCHAR) || '-'
+                   || CAST(l_linenumber AS VARCHAR) AS url,
+               CAST(l_partkey % 1000 AS DOUBLE) / 1000.0 AS rank
+        FROM lineitem
+    ) ORDER BY rank, url LIMIT 15000
     """,
 )
-def r5_candidate_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R5 `commonDocs`: UNION of per-term doc sets (Ranker.java:174-216 —
-    a union despite the name)."""
-    return (
-        _tokens(spark, sf_dir)
-        .filter(F.col("word").isin("spark", "merge", "window"))
-        .select("doc_id")
-        .distinct()
+def c7_budget_topk_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 global budget at WEB-SCALE k: the wave's exact k-smallest
+    selection via :func:`frontier.take_k_smallest` (sample-bracketed
+    pivots, no whole-pool exchange — `orderBy().limit(k)` ships the pool
+    to one merge task once k exceeds per-partition rows). Pool = lineitem
+    keyed by a unique synthetic url with a heavily-tied 1/1000-grid rank
+    (the boundary lands inside a dense tie cell — the hard case); oracle
+    is the plain ORDER BY/LIMIT, which the selection must match as a SET
+    exactly. k > |pool| at sf0.001 exercises the short-circuit; sf0.01
+    exercises the bracketing path."""
+    from navi_spark.operators.frontier import take_k_smallest
+
+    pool = load(spark, sf_dir, "lineitem").select(
+        F.concat_ws(
+            "-", F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("url"),
+        ((F.col("l_partkey") % 1000).cast("double") / 1000.0).alias("rank"),
     )
+    return take_k_smallest(pool, 15000, sample_rows=5000).select("url", "rank")
 
 
-# Round-5 registry rotation (VERDICT r04 item 4): i5_field_pivot and
-# tpch_q3_shipping_priority promoted from extra_queries for driver
-# certification; the triply-certified r13_doc_count / r14_ordered_multiget
-# demoted there (still green under the identical oracle protocol).
+# Registry rotations (VERDICT r04 item 4 pattern): round 5 promoted
+# i5_field_pivot and tpch_q3_shipping_priority from extra_queries for
+# driver certification, demoting the triply-certified r13_doc_count /
+# r14_ordered_multiget; later in round 5 the new web-scale budget
+# selection (c7_budget_topk_scale, above) replaced r5_candidate_union
+# (still certified INSIDE r3_bm25's candidate stage, and green in
+# extra_queries under the identical oracle protocol).
 @_q(
     "i5_field_pivot",
     """

@@ -243,6 +243,7 @@ def test_registry_covers_survey_ops_with_no_certification_window():
     # the round-3/5 rotations are inside the certified surface
     assert "r10_phrase_scan" in names and "text_langid" in names
     assert "i5_field_pivot" in names and "tpch_q3_shipping_priority" in names
+    assert "c7_budget_topk_scale" in names  # web-scale k selection, r05
     # every extra is a redundant alternate of a certified family
     alternates = set(xq.queries())
     assert alternates == {
@@ -252,6 +253,7 @@ def test_registry_covers_survey_ops_with_no_certification_window():
         "ev_hourly_rollup",                           # ⊂ stream_hourly_rollup
         "tpch_q1_pricing_summary",                    # demo
         "r13_doc_count", "r14_ordered_multiget",      # rotated out r05
+        "r5_candidate_union",                         # ⊂ r3_bm25, rotated r05
         "curate_corpus",                              # composed text/dedup ops
     }, alternates
 
