@@ -148,7 +148,8 @@ class WaveStats:
 
 
 def take_k_smallest(pool: DataFrame, k: int,
-                    sample_rows: int = 100_000) -> DataFrame:
+                    sample_rows: int = 100_000,
+                    _depth: int = 0) -> DataFrame:
     """Exact k smallest pool rows by (rank, url), bounded exchanges.
 
     ``orderBy("rank","url").limit(k)`` plans as TakeOrderedAndProject,
@@ -209,12 +210,19 @@ def take_k_smallest(pool: DataFrame, k: int,
               f"fallback")
         return pool.orderBy("rank", "url").limit(k)
     head = pool.filter(below_lo)
-    band = (
-        pool.filter(below_hi & ~below_lo)
-        .orderBy("rank", "url")
-        .limit(k - c_lo)
-    )
-    return head.unionByName(band)
+    band = pool.filter(below_hi & ~below_lo)
+    need = k - c_lo
+    # The band is O(n/sqrt(sample)) rows — at a 10^10-row pool that is
+    # still ~10^8, and sorting IT with orderBy().limit() would hit the
+    # same single-task-merge hazard this function exists to avoid. Recurse
+    # while the remainder is web-scale; each level shrinks the problem by
+    # ~sqrt(sample) (two levels cover 10^10), with a depth cap as the
+    # exactness-preserving escape hatch.
+    if need > 10_000 and _depth < 4:
+        band_take = take_k_smallest(band, need, sample_rows, _depth + 1)
+    else:
+        band_take = band.orderBy("rank", "url").limit(need)
+    return head.unionByName(band_take)
 
 
 def politeness_open_rows(new: DataFrame, counts: DataFrame, cap: int) -> DataFrame:

@@ -883,3 +883,21 @@ def test_take_k_smallest_fallback_is_exact(spark, capsys):
         assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
     finally:
         pool.unpersist()
+
+
+def test_take_k_smallest_recursive_band(spark):
+    """A tiny sample forces a wide pivot band with a web-scale remainder,
+    so the band selection must RECURSE (the band at a 10^10-row pool is
+    ~10^8 rows — sorting it with orderBy().limit() would reintroduce the
+    single-task merge). Equality vs the global sort proves exactness
+    through the recursion."""
+    from navi_spark.operators.frontier import take_k_smallest
+
+    pool = _topk_pool(spark, 60_000, "equal").persist()
+    try:
+        got = take_k_smallest(pool, 30_000, sample_rows=200)
+        exp = pool.orderBy("rank", "url").limit(30_000)
+        assert got.count() == 30_000
+        assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+    finally:
+        pool.unpersist()
