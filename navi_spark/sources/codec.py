@@ -114,8 +114,19 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB between two uint8 images."""
-    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    """Peak signal-to-noise ratio in dB between two uint8 images.
+
+    Integer fast path, bit-identical to the float64 formula: uint8 diffs
+    and their squares are exact integers (≤ 255² = 65025), and numpy's
+    pairwise float64 mean of exactly-representable integers (sums ≤ 2^31
+    per pair node, well under 2^53) is exact — so computing the squared
+    diffs in int32 and handing ONLY the mean to float64 yields the same
+    mse to the last bit while touching 4-byte ints instead of two 8-byte
+    float copies (the validator runs this once per lossy fetch).
+    """
+    d = a.astype(np.int16) - b.astype(np.int16)
+    sq = np.multiply(d, d, dtype=np.int32)
+    mse = float(np.mean(sq, dtype=np.float64))
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0**2 / mse)
@@ -141,6 +152,29 @@ def phash64(px: np.ndarray) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+# Per-shape cache of the id-INDEPENDENT channel sinusoids
+# 15·sin(2π(x+y)/(w+h)·c): the validator regenerates the ground-truth
+# pattern for every fetched image (once or twice per row), and profiling
+# showed make_pixels — not the decode — dominating the wave's python
+# stage (~130-270 µs/image, 5 full-array float64 trig evaluations). Only
+# 9 (w, h) shapes exist (_SIZES products), so these terms amortize to
+# zero; ≤ 9·3 64×64 float64 arrays ≈ 100 KB per worker.
+_XY_TERM_CACHE: dict[tuple[int, int], tuple[np.ndarray, ...]] = {}
+
+
+def _xy_terms(w: int, h: int) -> tuple[np.ndarray, ...]:
+    key = (w, h)
+    terms = _XY_TERM_CACHE.get(key)
+    if terms is None:
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        terms = tuple(
+            15 * np.sin(2 * np.pi * (xx + yy) / (w + h) * c)
+            for c in (1.0, 2.0, 3.0)
+        )
+        _XY_TERM_CACHE[key] = terms
+    return terms
+
+
 def make_pixels(image_id: str, w: int, h: int, dup_of: str | None = None) -> np.ndarray:
     """Deterministic seeded pixel pattern for an image_id.
 
@@ -148,19 +182,28 @@ def make_pixels(image_id: str, w: int, h: int, dup_of: str | None = None) -> np.
     well distributed (keeps PSNR in the 40-41 dB band). ``dup_of`` forces the
     pattern of another image_id — used to inject exact pixel duplicates
     (~2% of rows, FIXTURES.md §1) that exercise phash dedup (C15).
+
+    The formula is separable, so the id-dependent trig runs on 1-D x/y
+    vectors and broadcasts (each element sees the exact same float64
+    input as the original full-array form, so outputs are bit-identical —
+    asserted against the frozen naive implementation across every shape
+    in tests/test_codec_parity.py), the id-independent diagonal term
+    comes from the per-shape cache above, and channels are written
+    straight into the uint8 output (same per-element C cast as the old
+    stack().astype()). ~2.4× per image; rng draw order is unchanged.
     """
     key = dup_of if dup_of is not None else image_id
     seed = zlib.crc32(key.encode()) & 0xFFFFFFFF
     rng = np.random.default_rng(seed)
     fx, fy, phase = rng.uniform(0.5, 4.0, 2).tolist() + [rng.uniform(0, 6.28)]
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    base = (
-        128
-        + 60 * np.sin(2 * np.pi * fx * xx / w + phase)
-        + 60 * np.cos(2 * np.pi * fy * yy / h)
-    )
-    chans = [
-        np.clip(base + rng.uniform(-30, 30) + 15 * np.sin(2 * np.pi * (xx + yy) / (w + h) * c), 0, 255)
-        for c in (1.0, 2.0, 3.0)
-    ]
-    return np.stack(chans, axis=2).astype(np.uint8)
+    x = np.arange(w, dtype=np.float64)
+    y = np.arange(h, dtype=np.float64)
+    sx = 60 * np.sin(2 * np.pi * fx * x / w + phase)
+    cy = 60 * np.cos(2 * np.pi * fy * y / h)
+    # same elementwise order as the original: (128 + sin-term) + cos-term
+    base = (128 + np.broadcast_to(sx, (h, w))) + cy[:, None]
+    xyt = _xy_terms(w, h)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(3):
+        out[:, :, i] = np.clip(base + rng.uniform(-30, 30) + xyt[i], 0, 255)
+    return out
