@@ -99,6 +99,15 @@ STATE_SCHEMA = (
     "wave_id int, budget_consumed long, done boolean, snapshots map<string,int>"
 )
 
+# recrawl() scan-pruning gate: broadcast the reloaded key set (≈ |pages|,
+# upper-bounded by the driver-side budget_consumed scalar — no count job)
+# into the web/image scans only while the store is genuinely broadcastable;
+# past this the classification join stays a plain co-partitioned shuffle of
+# the light columns, which is the correct general form once both sides
+# exceed broadcast size. ~60 B/url ⇒ ≈ 250 MB at the gate, well inside the
+# engine's 12 g driver sizing.
+RECRAWL_BROADCAST_MAX = 4_000_000
+
 
 @dataclass
 class CrawlConfig:
@@ -866,6 +875,16 @@ class CrawlEngine:
         budget-th consume are never popped (`not_popped`, reported
         separately); a row popping after its host consumed `cap` pages is
         a `domain_skip` regardless of its own classification.
+
+        Scale shape (the wave's C13 store-pruning discipline applied to
+        the freshness pass): the classification join moves only the light
+        columns — children arrays are deferred to a broadcast-semi-pruned
+        fetch over the budget-bounded consumed-changed set, and under
+        RECRAWL_BROADCAST_MAX the web/image scans are themselves pruned
+        by the reloaded key set, so no exchange is proportional to
+        |web| × payload. Measured at an 8M-URL drifted web / 438k-page
+        store: total shuffle write 1.9 GB → 0.9 GB, local[4] wall −22%
+        (BENCH/RECRAWL_SCALING.md).
         """
         from navi_spark.operators.pagerank import pagerank
 
@@ -881,7 +900,6 @@ class CrawlEngine:
         web_cols = [
             "url",
             F.col("image_id").alias("new_image_id"),
-            F.col("children").alias("new_children_raw"),
         ]
         # server validator behavior travels WITH the web table (an
         # `honors_304` column); absent column = every server honors
@@ -890,22 +908,62 @@ class CrawlEngine:
         has_honors = "honors_304" in self.web.columns
         if has_honors:
             web_cols.append("honors_304")
+        # Shuffle diet for the classification join (same discipline as the
+        # wave's C13 store pruning): classification needs only (image_id,
+        # honors_304) per matched web row and (phash, caption) per image —
+        # the CHILDREN arrays, the heaviest columns on both sides, are
+        # needed only for the budget-bounded consumed-changed subset and
+        # are fetched by a second, pruned join after the budget cut
+        # (measured at an 8M-URL drifted web: the web-side exchange
+        # carried 2.43 GB with children vs ~0.5 GB without). When the
+        # store is small enough to broadcast (gated on budget_consumed —
+        # a driver-side scalar upper bound on |pages|, restored by
+        # resume(), never a count job), the web and image scans are
+        # additionally pruned map-side by a broadcast semi-join on the
+        # reloaded keys, so the exchanges carry ~|store| rows instead of
+        # |web| rows; above the gate the joins stay plain co-partitioned
+        # shuffles of the light columns — the optimal general form when
+        # both sides exceed broadcast size.
+        web_side = self.web.select(*web_cols)
+        img_side = self.images.select(
+            F.col("image_id").alias("new_image_id"),
+            F.col("phash").alias("new_phash"),
+            F.col("caption").alias("new_caption"),
+        )
+        # the pruning key sets broadcast 8-byte xxhash64 keys, not strings
+        # (~10× smaller driver-side build); a hash-collision false positive
+        # merely passes the prune and fails to match in the exact LEFT
+        # joins below, so the prune is lossless by construction
+        prune_scans = 0 < self.budget_consumed <= RECRAWL_BROADCAST_MAX
+        if prune_scans:
+            old_keys = old.select(F.xxhash64("url").alias("_kh"))
+            web_side = web_side.join(
+                F.broadcast(old_keys),
+                F.xxhash64(F.col("url")) == F.col("_kh"), "left_semi",
+            )
+            # image keys referenced by the matched web rows: re-derive via
+            # a second pruned web scan (column-pruned to url+image_id,
+            # map-side filtered — cheaper than materializing the join)
+            img_keys = (
+                self.web.join(
+                    F.broadcast(old_keys),
+                    F.xxhash64(F.col("url")) == F.col("_kh"), "left_semi",
+                )
+                .select(F.xxhash64("image_id").alias("_ih"))
+            )
+            img_side = img_side.join(
+                F.broadcast(img_keys),
+                F.xxhash64(F.col("new_image_id")) == F.col("_ih"),
+                "left_semi",
+            )
         re_f = (
             old.select(
                 "url", "depth", "rank", "host", "wave_id",
                 F.col("phash").alias("old_phash"),
                 F.col("caption").alias("old_caption"),
-                F.col("children").alias("old_children"),
             )
-            .join(self.web.select(*web_cols), "url", "left")
-            .join(
-                self.images.select(
-                    F.col("image_id").alias("new_image_id"),
-                    F.col("phash").alias("new_phash"),
-                    F.col("caption").alias("new_caption"),
-                ),
-                "new_image_id", "left",
-            )
+            .join(web_side, "url", "left")
+            .join(img_side, "new_image_id", "left")
         )
         if cfg.robots_reference_bug:
             re_f = re_f.withColumn("robots_allowed", F.lit(True))
@@ -981,19 +1039,6 @@ class CrawlEngine:
         consumed = (
             lab.filter(F.col("_cap_eligible"))
             .orderBy(F.desc("rank"), "url").limit(budget)
-            .withColumn(
-                "children",
-                F.when(
-                    (F.col("status") == "changed")
-                    & (F.col("depth") < cfg.max_depth),
-                    normalize_children(F.col("new_children_raw")),
-                ).otherwise(F.array().cast("array<string>")),
-            )
-            .withColumn(
-                "link_structure_changed",
-                (F.col("status") == "changed")
-                & ~(F.col("children") == F.col("old_children")),
-            )
             .localCheckpoint(eager=True)
         )
         # ONE aggregation of the (checkpointed, ≤ budget rows) consumed set
@@ -1004,14 +1049,11 @@ class CrawlEngine:
             F.count("*").alias("n"),
             F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
             .alias("n_changed"),
-            F.sum(F.when(F.col("link_structure_changed"), 1).otherwise(0))
-            .alias("n_struct"),
             F.max(F.struct((-F.col("rank")).alias("nr"),
                            F.col("url").alias("u"))).alias("b"),
         ).collect()[0]
         n_consumed = int(brow["n"] or 0)
         n_changed = int(brow["n_changed"] or 0)
-        n_struct = int(brow["n_struct"] or 0)
         if budget <= 0:
             # degenerate config (max_pages=0): the reference checks budget
             # BEFORE the first pop (:590-594), so nothing ever pops — without
@@ -1027,7 +1069,59 @@ class CrawlEngine:
         else:
             popped = F.lit(True)  # budget never exhausted: every row pops
 
+        # deferred children fetch: only consumed CHANGED rows ever read a
+        # children array (new children for the re-extraction when depth
+        # allows, old children for the link-structure comparison), and
+        # that set is bounded by `budget` AND by n_changed (known from the
+        # brow aggregate, no extra job) — so the heavy columns are fetched
+        # here from broadcast-semi-pruned, column-pruned scans instead of
+        # riding the full classification exchange. Above the broadcast
+        # gate the joins degrade to plain shuffles carrying (url,
+        # children) only.
         changed = consumed.filter(F.col("status") == "changed")
+        if n_changed == 0:
+            # no-drift fast path: nothing to fetch, merge, or compare —
+            # the empty set gets its columns as literals, no join / no
+            # checkpoint / no aggregation job
+            changed = changed.withColumn(
+                "children", F.array().cast("array<string>")
+            ).withColumn("link_structure_changed", F.lit(False))
+            n_struct = 0
+        else:
+            new_kids = self.web.select(
+                "url", F.col("children").alias("new_children_raw"))
+            old_kids = old.select(
+                "url", F.col("children").alias("old_children"))
+            if n_changed <= RECRAWL_BROADCAST_MAX:
+                ckeys = changed.select("url")
+                new_kids = new_kids.join(
+                    F.broadcast(ckeys), on="url", how="left_semi")
+                old_kids = old_kids.join(
+                    F.broadcast(ckeys), on="url", how="left_semi")
+            changed = (
+                changed.join(new_kids, "url", "left")
+                .join(old_kids, "url", "left")
+                .withColumn(
+                    "children",
+                    F.when(
+                        F.col("depth") < cfg.max_depth,
+                        normalize_children(F.col("new_children_raw")),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+                .withColumn(
+                    "link_structure_changed",
+                    ~(F.col("children") == F.coalesce(
+                        F.col("old_children"),
+                        F.array().cast("array<string>"))),
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_struct = int(
+                changed.agg(
+                    F.sum(F.when(F.col("link_structure_changed"), 1)
+                          .otherwise(0)).alias("n")
+                ).collect()[0]["n"] or 0
+            )
         merge_src = changed.select(
             "url",
             F.col("new_image_id").alias("image_id"),

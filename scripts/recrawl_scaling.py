@@ -189,7 +189,9 @@ print("RESULT " + json.dumps({
         "statuses": stats["statuses"], "not_popped": stats["not_popped"],
     },
     "config": {"shuffle_compress": False, "local_dir_tmpfs": True,
-               "partitions": 64, "driver_memory": "12g"},
+               "partitions": 64, "driver_memory": "12g",
+               "children_deferred": True, "scan_prune": True,
+               "prune_keys": "xxhash64"},
     "stages": rows,
 }))
 shutil.rmtree(workdir, ignore_errors=True)
@@ -433,6 +435,41 @@ asserted per pair): reloaded {o['reloaded']:,}, consumed
 {o['link_structure_changed']:,}, PageRank recomputed:
 {o['pagerank_recomputed']}; pop statuses {json.dumps(o['statuses'])},
 not popped {o['not_popped']:,}.
+
+## Round-5 shuffle diet: no exchange proportional to |web| × payload
+
+The classification join originally exchanged the FULL drifted web with
+payloads (children arrays) to match 438k stored pages against 8M web
+rows. Round 5 applied the wave's C13 store-pruning discipline to the
+freshness pass (frontier.py recrawl): children arrays are deferred to a
+broadcast-semi-pruned fetch over the budget-bounded consumed-changed
+set, and the web/image scans are pruned map-side by a broadcast
+semi-join on the reloaded key set — 8-byte xxhash64 keys, not strings
+(~10× smaller build; a hash-collision false positive passes the prune
+and dies in the exact LEFT join, so the prune is lossless by
+construction). Above RECRAWL_BROADCAST_MAX the joins degrade to plain
+co-partitioned shuffles of the light columns; both physical forms are
+bit-identical (tests/test_frontier.py::test_recrawl_scan_prune_gate_parity).
+
+Measured at the 8M universe (archives: recrawl_scaling_prediet.jsonl,
+recrawl_scaling_strkeys.jsonl; outcome histogram identical across all
+three configs):
+
+| config | shuffle write | shuffle read | local[4] cpu-s | min walls (4/16) |
+|---|---|---|---|---|
+| pre-diet (children ride the join) | 5,788 MB | 7,768 MB | 132 | 59.8 / 30.7 |
+| diet + string-key prune | 2,200 MB | 4,179 MB | 125 | 60.2 / 32.8 |
+| diet + xxhash64-key prune (shipping) | 2,200 MB | 4,179 MB | 122 | 60.0 / 31.9 |
+
+The web-side exchanges collapsed from 2,430 + 824 MB to 43 + 40 MB
+(map-side-pruned scans). Wall is UNCHANGED within noise on this host —
+shuffle compression is off and the local dirs are tmpfs, so local byte
+movement is nearly free — which is exactly the point: on a real
+cluster the same 3.6 GB of writes crosses the network (~8 KB per
+reloaded page of pure web payload), where it would be the scaling
+bottleneck this sandbox cannot show. The remaining shuffle volume is
+the PageRank recompute (10 × 109.6 MB writes + 10 × 327 MB reads),
+which is rank-loop-intrinsic, not fetch overhead.
 
 ## Per-stage attribution — best local[{n}] run
 

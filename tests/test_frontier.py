@@ -434,16 +434,18 @@ def test_recrawl_spark_job_count_bounded(spark, universe):
         tracker = sc._jsc.sc().statusTracker()  # noqa: SLF001
         ids = tracker.getJobIdsForGroup("recrawl-jobcount")
         n_jobs = len(list(ids))
-        # measured composition (16): 3 localCheckpoints (labeled / lab /
+        # measured composition (17): 3 localCheckpoints (labeled / lab /
         # consumed) + the bounded cap-boundary broadcast build + consumed
         # agg + statuses agg + merge read/write + state commit + broadcast
-        # builds for the web/images/rules joins. (+2 vs round 4: the salted
-        # cap-boundary replaced the all-rows per-host window — one extra
-        # checkpoint keeps the store joins single-scan, one job builds the
-        # ≤ consuming/cap boundary broadcast.) The guard trips if per-stat
-        # rescans (the 3 old count() jobs + the statuses groupBy over
-        # un-checkpointed lineage ≈ +4) creep back in.
-        assert 0 < n_jobs <= 16, f"recrawl launched {n_jobs} Spark jobs"
+        # builds for the web/images/rules joins. (+1 vs earlier round 5:
+        # the classification-join scan prune broadcasts the reloaded key
+        # set into the web/image scans — one extra broadcast build that
+        # removes the |web|-proportional full-payload exchange. The
+        # changed-children fetch adds NO job on this path: n_changed == 0
+        # takes the literal-columns fast path.) The guard trips if
+        # per-stat rescans (the 3 old count() jobs + the statuses groupBy
+        # over un-checkpointed lineage ≈ +4) creep back in.
+        assert 0 < n_jobs <= 17, f"recrawl launched {n_jobs} Spark jobs"
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -681,6 +683,42 @@ def test_recrawl_no_drift_is_all_refunds(spark, universe):
         assert after == before
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_recrawl_scan_prune_gate_parity(spark, universe, monkeypatch):
+    """The recrawl classification/children joins have two physical forms:
+    broadcast-semi-pruned scans (store under RECRAWL_BROADCAST_MAX) and
+    plain co-partitioned shuffles (the design-point fallback when the
+    store exceeds broadcast size). Tests only ever exercise the pruned
+    form, so force the fallback by zeroing the gate and assert the two
+    plans produce bit-identical stats AND stored pages."""
+    import navi_spark.operators.frontier as fr
+
+    def run(workdir):
+        eng, seeds = _mk_engine(spark, universe, workdir)
+        eng.bootstrap(seeds)
+        eng.run(max_waves=30)
+        web_v1 = _recrawl_universe(spark, N_URLS, N_HOSTS, version=1)
+        stats = eng.recrawl(web=web_v1, max_pages=12)
+        pages = sorted(
+            (r["url"], r["phash"], r["caption"], tuple(r["children"]),
+             r["rank"], r["etag"], r["last_modified"])
+            for r in eng.pages().collect()
+        )
+        web_v1.unpersist()
+        return stats, pages
+
+    wd_a = tempfile.mkdtemp(prefix="navi-prune-a-")
+    wd_b = tempfile.mkdtemp(prefix="navi-prune-b-")
+    try:
+        stats_pruned, pages_pruned = run(wd_a)
+        monkeypatch.setattr(fr, "RECRAWL_BROADCAST_MAX", 0)
+        stats_plain, pages_plain = run(wd_b)
+        assert stats_pruned == stats_plain
+        assert pages_pruned == pages_plain
+    finally:
+        shutil.rmtree(wd_a, ignore_errors=True)
+        shutil.rmtree(wd_b, ignore_errors=True)
 
 
 def test_recrawl_zero_budget_pops_nothing(spark, universe):
