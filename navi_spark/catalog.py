@@ -136,8 +136,11 @@ class SnapshotTable:
         tgt = self.read()
         merged = tgt.join(src.select(*keys).distinct(), on=keys, how="left_anti")
         merged = merged.unionByName(src.select(*tgt.columns))
-        # materialize BEFORE overwrite: the plan reads the dirs being replaced
-        return self.overwrite(merged.localCheckpoint(eager=True), summary)
+        # no pre-materialization needed: _commit writes a FRESH data dir and
+        # the dirs the plan reads stay on disk until expire_snapshots, so the
+        # single write job both evaluates and commits the merge (a checkpoint
+        # here would materialize the full table twice — block store + parquet)
+        return self.overwrite(merged, summary)
 
     # -- maintenance ---------------------------------------------------------
     def data_files(self, snapshot_id: Optional[int] = None) -> list[tuple[str, int]]:

@@ -743,11 +743,20 @@ class CrawlEngine:
             .withColumn("url_hash", F.xxhash64("url"))
             .select("url", "rank", "depth", "host", "url_hash")
         )
+        # No checkpoint here: overwrite() always commits to a FRESH data dir
+        # (catalog._commit), so the plan can read the old frontier dirs while
+        # writing the new snapshot, and the parquet round-trip itself is the
+        # lineage cut the next wave reads from. Checkpointing first would
+        # materialize the |frontier|-sized union twice (block store + parquet)
+        # — measured as the wave's worst-scaling stage (ENGINE_SCALING.md,
+        # 64-task barrier 10.5 s at local[4], 2.1x/4 cores).
         new_frontier = leftover.select(
             "url", "rank", "depth", "host", "url_hash"
-        ).unionByName(expansions).localCheckpoint(eager=True)
-        stats.expanded = new_frontier.count()
+        ).unionByName(expansions)
         self.t["frontier"].overwrite(new_frontier, {"wave": w})
+        # exact count from the committed snapshot: a no-column parquet scan
+        # reads row-group footers only, not the data pages
+        stats.expanded = self.t["frontier"].read().count()
 
         # ---- 11. lineage + metrics (north rule): one aggregation over the
         # labeled table + per-partition scheduled/deduped; collected once
@@ -1142,9 +1151,10 @@ class CrawlEngine:
                 .select(*[c.strip().split(" ")[0]
                           for c in PAGES_SCHEMA.split(",")])
             )
-            self.t["pages"].overwrite(
-                repaged.localCheckpoint(eager=True), {"op": "recrawl-rank"}
-            )
+            # overwrite commits to a fresh dir while the plan reads the old
+            # snapshot's dirs (kept until expire_snapshots) — one write job,
+            # no block-store double-materialization
+            self.t["pages"].overwrite(repaged, {"op": "recrawl-rank"})
 
         # ONE aggregation of the checkpointed labeled set yields the exact
         # pop-outcome telemetry (no per-stat rescans of the pages table)
