@@ -27,14 +27,21 @@ DOCS = [
 FIELDS = {"h1": "h1", "other": "other"}
 
 
+# generous client timeout: the first POST/GET pays cold-JVM Spark work
+# (suggestion-table create + first ranking jobs) inside the handler
+# thread; 30s was measured too tight in a slow host window and the
+# abandoned handler thread then races session teardown
+_HTTP_TIMEOUT = 300
+
+
 def _get(url, path):
-    with urllib.request.urlopen(url + path, timeout=30) as r:
+    with urllib.request.urlopen(url + path, timeout=_HTTP_TIMEOUT) as r:
         return r, r.read()
 
 
 def _post(url, path):
     req = urllib.request.Request(url + path, data=b"", method="POST")
-    with urllib.request.urlopen(req, timeout=30) as r:
+    with urllib.request.urlopen(req, timeout=_HTTP_TIMEOUT) as r:
         return r, r.read()
 
 
@@ -53,6 +60,10 @@ def served(spark, tmp_path_factory):
         pages=pages, postings=postings, lengths=lengths,
         field_cols=FIELDS, n_docs=len(DOCS), suggestions=sugg,
     )
+    # materialize the cached index OUTSIDE the HTTP path so the first
+    # request doesn't also pay the cache-build jobs under a client timeout
+    for df in (pages, postings, lengths):
+        df.count()
     srv = QueryEngineServer(idx)
     srv.start()
     yield srv.url, idx
