@@ -345,15 +345,19 @@ def recrawl_throughput(spark: SparkSession) -> dict:
         wall = time.monotonic() - t0
         sc.setJobGroup(None, None)
         n_jobs = len(list(tracker.getJobIdsForGroup("bench-recrawl")))
-        # measured 62: 17 (no-drift discipline bound) + the changed-rows
-        # MERGE + the bounded 10-iteration PageRank recompute + the rank
-        # snapshot overwrite, each fanned out by AQE query stages, + the
-        # round-5 shuffle-diet jobs (scan-prune key broadcasts, the
-        # deferred-children checkpoint and its n_struct aggregate — the
-        # jobs that bought the 5.8 → 2.2 GB shuffle cut, every one bounded
-        # by |consumed-changed| or a broadcast build). Trips if per-stat
-        # rescans creep back in.
-        assert 0 < n_jobs <= 66, f"drifted recrawl launched {n_jobs} jobs"
+        # measured 82: 17 (no-drift discipline bound) + the changed-rows
+        # MERGE + the round-5 shuffle-diet jobs (scan-prune key broadcasts,
+        # the deferred-children checkpoint and its n_struct aggregate —
+        # the jobs that bought the 5.8 → 2.2 GB shuffle cut, every one
+        # bounded by |consumed-changed| or a broadcast build) + the
+        # 10-iteration PageRank recompute, which since the cache fix
+        # materializes as its OWN eager query (nodes count + ~2 AQE
+        # query-stage jobs per iteration + the checkpoint write — jobs
+        # bounded by the FIXED iteration count, in exchange for the loop
+        # no longer replaying uncached inside the rank-snapshot overwrite:
+        # whole-recrawl shuffle read −72%, BENCH/RECRAWL_SCALING.md).
+        # Trips if per-stat rescans (data-proportional jobs) creep back in.
+        assert 0 < n_jobs <= 92, f"drifted recrawl launched {n_jobs} jobs"
         # second sweep against the SAME web: everything now unchanged — the
         # pure freshness-check pass, which must hold the strict no-drift
         # job discipline (tests/test_frontier.py guard = 16)
