@@ -156,6 +156,37 @@ class WaveStats:
     wall_ms: int = 0
 
 
+def _run_commits_concurrently(commits) -> None:
+    """Run independent single-table commit thunks on parallel threads.
+
+    Only for commits to DISTINCT tables whose recovery is covered by the
+    state-last consistent cut (resume() rolls back any torn subset, order
+    irrelevant). pyspark.InheritableThread copies the submitting thread's
+    JVM-local properties (job group, description, interrupt-on-cancel), so
+    jobs launched here still land in the caller's job group. The first
+    failure is re-raised after every thread joins — a half-finished commit
+    set is exactly the torn-wave shape resume() already unwinds."""
+    from pyspark import InheritableThread
+
+    errors: list[BaseException] = []
+
+    def _wrap(fn):
+        def body():
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errors.append(e)
+        return body
+
+    threads = [InheritableThread(target=_wrap(fn)) for fn in commits]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+
+
 def take_k_smallest(pool: DataFrame, k: int,
                     sample_rows: int = 100_000,
                     _depth: int = 0) -> DataFrame:
@@ -687,11 +718,24 @@ class CrawlEngine:
             payload_etag().alias("etag"),
             payload_last_modified().alias("last_modified"),
         )
-        self.t["pages"].append(pages_out, {"wave": w})
-        self.t["seen"].append(
-            successes.select("url", "url_hash", "host_partition"), {"wave": w}
-        )
-        self.t["phash_seen"].append(successes.select("phash").distinct(), {"wave": w})
+        # The five wave-output commits are mutually independent: each writes
+        # its OWN table from the checkpointed `successes` set (or its own
+        # table's previous snapshot), and resume() depends only on `state`
+        # committing last with the post-barrier snapshot map — the
+        # consistent cut never depends on the ORDER of the middle commits
+        # (any torn subset rolls back). So they run concurrently: each
+        # write is a small fixed-overhead Spark job, and at any realistic
+        # budget the serialized chain is pure fixed cost the executor slots
+        # sit idle through (ENGINE_SCALING.md attributes the composed-wave
+        # scaling floor to exactly this chain). InheritableThread propagates
+        # the caller's job group/description, so job accounting (and the
+        # wave job-count guard) stays truthful.
+        commits = [lambda: self.t["pages"].append(pages_out, {"wave": w}),
+                   lambda: self.t["seen"].append(
+                       successes.select("url", "url_hash", "host_partition"),
+                       {"wave": w}),
+                   lambda: self.t["phash_seen"].append(
+                       successes.select("phash").distinct(), {"wave": w})]
         if cfg.use_bloom:
             old_f = self.t["filters"].read_or_empty(bloom.FILTERS_SCHEMA)
             if cfg.seen_filter == "cuckoo":
@@ -707,7 +751,8 @@ class CrawlEngine:
                     cfg.bloom_bits_per_partition,
                     cfg.bloom_hashes,
                 )
-            self.t["filters"].overwrite(new_f, {"wave": w})
+            commits.append(
+                lambda: self.t["filters"].overwrite(new_f, {"wave": w}))
         new_counts = (
             self.t["host_counts"].read_or_empty(HOST_COUNTS_SCHEMA)
             .unionByName(
@@ -715,7 +760,9 @@ class CrawlEngine:
             )
             .groupBy("host").agg(F.sum("successes").alias("successes"))
         )
-        self.t["host_counts"].overwrite(new_counts, {"wave": w})
+        commits.append(
+            lambda: self.t["host_counts"].overwrite(new_counts, {"wave": w}))
+        _run_commits_concurrently(commits)
 
         # ---- 10. re-queue + expansion (C16). Everything poppable that was
         # not attempted re-queues: per-host over-quota rows, salt-pruned
@@ -753,34 +800,51 @@ class CrawlEngine:
         new_frontier = leftover.select(
             "url", "rank", "depth", "host", "url_hash"
         ).unionByName(expansions)
-        self.t["frontier"].overwrite(new_frontier, {"wave": w})
+
+        # ---- 11. frontier commit ∥ lineage aggregation (north rule): the
+        # lineage collect reads only the cached/checkpointed wave sets
+        # (cand/new/labeled), never the frontier table, so it overlaps the
+        # frontier write instead of idling behind it; one aggregation,
+        # collected once (≤ n_host_partitions·salt_buckets rows) and reused
+        # for wave stats
+        lin_holder: dict[str, list] = {}
+
+        def _collect_lineage() -> None:
+            lin_holder["rows"] = self._lineage_rows(
+                w, cand, new.unionByName(deep), labeled
+            )
+
+        _run_commits_concurrently([
+            lambda: self.t["frontier"].overwrite(new_frontier, {"wave": w}),
+            _collect_lineage,
+        ])
         # exact count from the committed snapshot: a no-column parquet scan
         # reads row-group footers only, not the data pages
         stats.expanded = self.t["frontier"].read().count()
-
-        # ---- 11. lineage + metrics (north rule): one aggregation over the
-        # labeled table + per-partition scheduled/deduped; collected once
-        # (≤ n_host_partitions·salt_buckets rows) and reused for wave stats
-        lin_rows = self._lineage_rows(w, cand, new.unionByName(deep), labeled)
+        lin_rows = lin_holder["rows"]
         stats.scheduled = sum(r["scheduled"] for r in lin_rows)
         stats.deduped = sum(r["deduped"] for r in lin_rows)
         stats.attempted = sum(r["attempted"] for r in lin_rows)
         stats.fetched = sum(r["fetched"] for r in lin_rows)
         stats.depth_skips = sum(r["depth_skipped"] for r in lin_rows)
-        self.t["lineage"].append(
-            self.spark.createDataFrame(lin_rows, LINEAGE_SCHEMA), {"wave": w}
-        )
         stats.wall_ms = int((time.monotonic() - t0) * 1000)
         par = self.spark.sparkContext.defaultParallelism
-        self.t["metrics"].append(
-            self.spark.createDataFrame(
-                [(w, stats.scheduled, stats.deduped, stats.attempted,
-                  stats.fetched, stats.expanded, stats.wall_ms,
-                  stats.scheduled / max(stats.wall_ms / 1000.0, 1e-9), par)],
-                METRICS_SCHEMA,
+        _run_commits_concurrently([
+            lambda: self.t["lineage"].append(
+                self.spark.createDataFrame(lin_rows, LINEAGE_SCHEMA),
+                {"wave": w},
             ),
-            {"wave": w},
-        )
+            lambda: self.t["metrics"].append(
+                self.spark.createDataFrame(
+                    [(w, stats.scheduled, stats.deduped, stats.attempted,
+                      stats.fetched, stats.expanded, stats.wall_ms,
+                      stats.scheduled / max(stats.wall_ms / 1000.0, 1e-9),
+                      par)],
+                    METRICS_SCHEMA,
+                ),
+                {"wave": w},
+            ),
+        ])
 
         # ---- 12. state commit = the checkpoint barrier
         self.budget_consumed += stats.fetched + stats.depth_skips
