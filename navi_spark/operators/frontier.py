@@ -108,6 +108,31 @@ STATE_SCHEMA = (
 # engine's 12 g driver sizing.
 RECRAWL_BROADCAST_MAX = 4_000_000
 
+# Scale-adaptive shuffle sizing for the store-bounded passes (guide §2.2:
+# "size shuffle partitions to the data, not a constant"): every relation
+# the freshness pass or the PageRank loop touches is bounded by the store
+# (≤ budget_consumed rows of light columns), so post-shuffle partitions
+# are derived from that row count instead of the session's scan-scale
+# default. 2 500 rows/partition ≈ the measured local sweet spot for the
+# ~150 B light rows (sub-MB partitions; below it task-launch overhead
+# dominates, above it per-task skew does); at the 10^10-row design point
+# the same formula yields ~4M partitions' worth of data split across
+# `ROWS_PER_SHUFFLE_PARTITION`-row units, capped by the session default
+# times 1024 so the derived value can grow well past the local default
+# but never unboundedly.
+ROWS_PER_SHUFFLE_PARTITION = int(
+    os.environ.get("NAVI_ROWS_PER_SHUFFLE_PARTITION", "2500")
+)
+
+
+def _partitions_for_rows(rows: int, session_parts: int) -> int:
+    """Shuffle-partition count for a pass whose relations are bounded by
+    `rows`: grows linearly with data, never collapses below 1, and is
+    allowed to EXCEED the session default at scale (the cap only bounds
+    runaway values from a corrupt rows estimate)."""
+    p = -(-max(int(rows), 1) // ROWS_PER_SHUFFLE_PARTITION)
+    return max(1, min(p, max(session_parts, 64) * 1024))
+
 
 @dataclass
 class CrawlConfig:
@@ -921,6 +946,32 @@ class CrawlEngine:
         max_pages: int | None = None,
         pagerank_iterations: int = 10,
     ) -> dict:
+        """C21 freshness pass — see :meth:`_recrawl_impl` for the algorithm.
+
+        This wrapper only sets the pass's shuffle sizing: every relation
+        the freshness pass touches is bounded by the STORE (≤
+        budget_consumed rows of light columns, a driver-side scalar —
+        no count job), not by the web, so its post-shuffle partition
+        count is derived from that size (guide §2.2) instead of running
+        dozens of store-bounded exchanges at the session's scan-scale
+        default. Restored on exit; the session conf is never leaked."""
+        spark = self.spark
+        sess = spark.conf.get("spark.sql.shuffle.partitions")
+        p = _partitions_for_rows(self.budget_consumed, int(sess))
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        try:
+            return self._recrawl_impl(web, images, max_pages,
+                                      pagerank_iterations)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", sess)
+
+    def _recrawl_impl(
+        self,
+        web: DataFrame | None = None,
+        images: DataFrame | None = None,
+        max_pages: int | None = None,
+        pagerank_iterations: int = 10,
+    ) -> dict:
         """C21 composed freshness pass (WebCrawler.java:536-650 recrawl /
         recrawlThread / recrawlUrl): reload pages rank-DESC → fresh
         per-host domain cap → robots → conditional GET against the
@@ -969,6 +1020,16 @@ class CrawlEngine:
         budget = max_pages if max_pages is not None else cfg.max_pages
         cap = cfg.max_pages_per_domain
         old = self.pages()
+        import time as _time
+        _pt = os.environ.get("NAVI_RECRAWL_PHASE_TIMING")
+        _t0 = _time.monotonic()
+
+        def _mark(label):
+            nonlocal _t0
+            if _pt:
+                t = _time.monotonic()
+                print(f"[recrawl-phase] {label}: {t - _t0:.3f}s", flush=True)
+                _t0 = t
 
         web_cols = [
             "url",
@@ -1075,6 +1136,7 @@ class CrawlEngine:
         # run a single scan — both the boundary derivation and the final
         # broadcast join read the materialized rows, not the join tree
         labeled = re_f.withColumn("status", status).localCheckpoint(eager=True)
+        _mark("1-classify+labeled-ckpt")
         cons = labeled.filter(consuming).select("host", "rank", "url")
         salted = cons.withColumn(
             "_salt", F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets))
@@ -1106,6 +1168,7 @@ class CrawlEngine:
             .drop("_b_rank", "_b_url")
             .localCheckpoint(eager=True)
         )
+        _mark("2-boundary+lab-ckpt")
 
         # the consumed set: first `budget` cap-eligible rows in global pop
         # order — distributed TakeOrdered, never a single-partition window
@@ -1126,6 +1189,7 @@ class CrawlEngine:
                            F.col("url").alias("u"))).alias("b"),
         ).collect()[0]
         n_consumed = int(brow["n"] or 0)
+        _mark("3-consumed-ckpt+agg")
         n_changed = int(brow["n_changed"] or 0)
         if budget <= 0:
             # degenerate config (max_pages=0): the reference checks budget
@@ -1204,11 +1268,14 @@ class CrawlEngine:
             payload_etag("new_phash", "new_caption").alias("etag"),
             payload_last_modified("new_phash").alias("last_modified"),
         )
+        _mark("4-children-fetch")
         self.t["pages"].merge_upsert(merge_src, "url", {"op": "recrawl"})
+        _mark("5-merge-upsert")
 
         if n_struct > 0:
             # :571-580 — calculatePageRank writes into the docs' rank field
             pr = pagerank(self.pages(), pagerank_iterations)
+            _mark("6-pagerank")
             repaged = (
                 self.pages().drop("rank")
                 .join(pr, "url", "left").fillna({"rank": 0.0})
@@ -1219,6 +1286,7 @@ class CrawlEngine:
             # snapshot's dirs (kept until expire_snapshots) — one write job,
             # no block-store double-materialization
             self.t["pages"].overwrite(repaged, {"op": "recrawl-rank"})
+            _mark("7-rank-overwrite")
 
         # ONE aggregation of the checkpointed labeled set yields the exact
         # pop-outcome telemetry (no per-stat rescans of the pages table)
@@ -1242,6 +1310,7 @@ class CrawlEngine:
             "statuses": status_counts,
             "not_popped": not_popped,
         }
+        _mark("8-status-agg")
         # state commit = the checkpoint barrier (same machinery as wave():
         # a crash between the MERGE and here rolls pages back on resume)
         self.t["state"].overwrite(

