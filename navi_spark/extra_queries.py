@@ -228,12 +228,18 @@ def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed rollup over the event stream (micro-batch analog of the
     crawl wave metrics)."""
     e = load(spark, sf_dir, "events")
+    # optimization round 6 (guide §2.3): group on date_trunc (integer
+    # microsecond arithmetic, 8-byte shuffle key) and run the formatter
+    # once per GROUP after the aggregation instead of once per row —
+    # hour-truncated timestamp ↔ "yyyy-MM-dd HH" is a bijection (UTC
+    # session), so groups and results are identical
     return (
-        e.groupBy(
-            F.date_format("ts", "yyyy-MM-dd HH").alias("hour_bucket"),
-            "event_type",
-        )
+        e.groupBy(F.date_trunc("hour", "ts").alias("_h"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("_h", "yyyy-MM-dd HH").alias("hour_bucket"),
+            "event_type", "n", "sum_value",
+        )
     )
 
 

@@ -31,9 +31,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Restore scan parallelism before expensive per-row work (guide §2.5
+    input skew / §6 input splits): the driver tables are single-file,
+    single-row-group parquet (row groups land in whichever split holds
+    their midpoint), so a documents scan runs on ~1 task no matter how
+    many cores the session has — and every regex/tokenize expression
+    fused into that scan stage serializes with it. One hash exchange of
+    the small raw rows (deterministic key — never round-robin, guide
+    §2.5) spreads the downstream compute across the session's shuffle
+    partitions. Cost: shuffling bytes that were already column-pruned;
+    won at every measured scale because the per-row work dominates."""
+    return df.repartition(key)
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, word): lowercase, strip non-letters, split (I3)."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return (
         d.select(
             "doc_id",
@@ -252,13 +266,18 @@ def c14_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c15_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C15: content-hash dedup, keep-first (HashingManager.java:21-56)."""
+    """C15: content-hash dedup, keep-first (HashingManager.java:21-56).
+
+    Optimization round 6 (guide §2.3 "aggregate before you shuffle"):
+    keep-first ≡ min(doc_id) per hash, so a hash aggregate with map-side
+    partial aggregation replaces the window (which shuffled every row and
+    paid a per-group sort); the exchange now carries one partial row per
+    (hash, partition) instead of the whole table."""
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_hash")
     )
 
 
@@ -353,35 +372,61 @@ def c23_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.15 + 0.85·Σ, NOT 0.15/N)."""
     d = load(spark, sf_dir, "documents")
     n = d.count()
-    edges = d.select(
-        F.col("doc_id").alias("src"),
-        F.explode(
-            F.array((F.col("doc_id") * 7 + 1) % n, (F.col("doc_id") * 13 + 3) % n)
-        ).alias("dst"),
-    ).cache()
+    # Optimization round 6 — two levers, both A/B'd at 50k docs/100k
+    # edges (OPTIMIZATION_r06.md):
+    #  1. iterate on the CONTRIBUTION recurrence, not on ranks:
+    #     c_i(dst) = Σ (0.15 + 0.85·coalesce(c_{i-1}(src),0)) / 2 — each
+    #     iteration is ONE join + ONE aggregation; the per-iteration
+    #     nodes left-join (a full |nodes| exchange ×10) disappears and
+    #     ranks materialize from c_10 once at the end. Arithmetic per
+    #     edge is unchanged (rank computed then halved), so values are
+    #     identical up to summation order (absorbed by ROUND(...,6)).
+    #  2. edges repartitioned by src once and cached: every iteration's
+    #     join reuses that partitioning, only the contrib side moves.
+    # Deliberately NOT taken from the engine's pagerank(): the final
+    # eager localCheckpoint (measured 0.5 s → 5-9 s here — the leaf
+    # materialization pays more than it saves when the caller runs ONE
+    # action on the result) and the small-n AQE/codegen-off gate (AQE's
+    # runtime broadcast of the contrib side is what keeps the loop's
+    # joins exchange-free at this size).
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array((F.col("doc_id") * 7 + 1) % n,
+                        (F.col("doc_id") * 13 + 3) % n)
+            ).alias("dst"),
+        )
+        .repartition("src")
+        .cache()
+    )
     nodes = d.select(F.col("doc_id").alias("node"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    # NO per-iteration localCheckpoint: the iteration count is FIXED (10),
-    # so the plan depth is bounded and each shuffle stage already
-    # materializes as a natural lineage/retry cut. A checkpoint per
-    # iteration forces a full Catalyst planning pass each time (toRdd) —
-    # measured 5.5 s vs 1.2 s warm for the whole query at sf0.1 — and
-    # localCheckpoint blocks are not fault-tolerant on a real cluster.
+    contrib = None
     for _ in range(10):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / 2).alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (F.lit(0.15) + 0.85 * F.coalesce(F.col("contrib"), F.lit(0.0))
-                 ).alias("rank"),
+        if contrib is None:
+            src_side = edges
+            rank_prev = F.lit(1.0 / n)
+        else:
+            src_side = edges.join(
+                contrib.withColumnRenamed("dst", "src"), "src", "left"
             )
+            rank_prev = (
+                F.lit(0.15) + 0.85 * F.coalesce(F.col("contrib"), F.lit(0.0))
+            )
+        contrib = (
+            src_side.select("dst", (rank_prev / 2).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
         )
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    return (
+        nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+        .select(
+            "node",
+            (F.lit(0.15) + 0.85 * F.coalesce(F.col("contrib"), F.lit(0.0))
+             ).alias("rank"),
+        )
+        .select("node", F.round("rank", 6).alias("rank"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -529,30 +574,79 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 def r3_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3: BM25 (k=1.5, b=0.75 — Ranker.java:133) summed over query terms.
     (Single-field variant; the reference's per-term overwrite bug at
-    Ranker.java:268 is deliberately FIXED here — scores sum over terms.)"""
-    toks = _tokens(spark, sf_dir).cache()
-    n = load(spark, sf_dir, "documents").count()
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
-    avgdl = dl.agg(F.avg("doc_len")).collect()[0][0]
-    qt = toks.filter(F.col("word").isin(*_BM25_TERMS))
-    tf = qt.groupBy("word", "doc_id").agg(F.count("*").alias("tf"))
-    df = qt.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    idf = df.select(
-        "word",
-        F.log10((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
-    )
-    k, b = 1.5, 0.75
-    scored = (
-        tf.join(idf, "word")
-        .join(dl, "doc_id")
-        .withColumn(
-            "term_score",
-            F.col("idf") * F.col("tf") * (k + 1.0)
-            / (F.col("tf") + k * (1 - b + b * F.col("doc_len") / F.lit(avgdl))),
+    Ranker.java:268 is deliberately FIXED here — scores sum over terms.)
+
+    Plan (optimization round 6, guide §2.3/§2.4 "decide with small rows"):
+    instead of exploding every token of every doc into a corpus×tokens row
+    stream (cached!) and re-aggregating it three ways (doc_len, tf, df)
+    through three exchanges plus a 3-way join, derive the three per-doc
+    numbers the score needs (doc_len, tf per query term) directly from the
+    cleaned text with codegen'd regexp_count — zero exchanges, no arrays.
+    After regexp_replace the text is [a-z\\s]-only, so the \\s+-split
+    tokens are exactly the maximal [a-z]+ runs: doc_len ≡
+    regexp_count('[a-z]+') and tf(t) ≡ regexp_count('(?<![a-z])t(?![a-z])')
+    — whole-token matches only, adjacent repeats counted (non-overlapping
+    greedy scan), bit-identical to the explode+count form.
+    One tiny aggregate collects the per-term document frequencies and the
+    average doc length (bounded: |terms|+1 doubles); idf then becomes a
+    constant-folded literal (same JVM log10 the joined column fed), and
+    the final pass scores matching docs straight off the cached narrow
+    per-doc table. Token-stream shuffles removed: 3 → 0; joins 2 → 0."""
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    cleaned = F.regexp_replace(F.lower("text"), "[^a-z\\s]", "")
+    per_doc = (
+        _spread(d.select("doc_id", "text")).select("doc_id", cleaned.alias("_c"))
+        .select(
+            "doc_id",
+            F.regexp_count("_c", F.lit("[a-z]+")).alias("doc_len"),
+            *[
+                F.regexp_count(
+                    "_c", F.lit(f"(?<![a-z]){t}(?![a-z])")
+                ).alias(f"tf{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
         )
+        .cache()
     )
-    return scored.groupBy("doc_id").agg(
-        F.round(F.sum("term_score"), 6).alias("score")
+    row = per_doc.agg(
+        # avg over docs WITH tokens — the explode form never emitted a
+        # doc_len row for a token-free doc
+        F.avg(F.when(F.col("doc_len") > 0, F.col("doc_len"))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    ).collect()[0]
+    avgdl = row["avgdl"]
+    k, b = 1.5, 0.75
+    score = None
+    present = []
+    for i in range(len(_BM25_TERMS)):
+        dfv = int(row[f"df{i}"] or 0)
+        if dfv == 0:
+            continue  # term in no doc: contributes no rows and no score
+        present.append(i)
+        # same float ops as the joined-column form: (n - df + 0.5) and
+        # (df + 0.5) are exact in doubles; log10 constant-folds JVM-side
+        idf_t = F.log10(F.lit(float(n) - dfv + 0.5) / F.lit(dfv + 0.5))
+        tf = F.col(f"tf{i}")
+        term = (
+            idf_t * tf * (k + 1.0)
+            / (tf + k * (1 - b + b * F.col("doc_len") / F.lit(avgdl)))
+        )
+        contrib = F.when(tf > 0, term).otherwise(F.lit(0.0))  # +0.0 is exact
+        score = contrib if score is None else score + contrib
+    if not present:
+        return per_doc.filter(F.lit(False)).select(
+            "doc_id", F.lit(None).cast("double").alias("score")
+        )
+    any_term = None
+    for i in present:
+        c = F.col(f"tf{i}") > 0
+        any_term = c if any_term is None else any_term | c
+    return per_doc.filter(any_term).select(
+        "doc_id", F.round(score, 6).alias("score")
     )
 
 
@@ -580,22 +674,24 @@ def r3_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def r8_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R8: hybrid 0.7·relevance + 0.3·popularity, top-k (Ranker.java:37-38)."""
+    """R8: hybrid 0.7·relevance + 0.3·popularity, top-k (Ranker.java:37-38).
+
+    Optimization round 6 (guide §2.4): the term frequency of one word per
+    doc does not need an explode + aggregation + self-join — after
+    regexp_replace the text is [a-z\\s]-only, so whole-token occurrences
+    of 'spark' are exactly the regexp_count matches of
+    '(?<![a-z])spark(?![a-z])' (see r3_bm25 for the equivalence argument).
+    The left join (and both its exchanges) disappears; the plan is scan →
+    project → TakeOrderedAndProject. coalesce(tf,0) is subsumed: a doc
+    without the word counts 0 matches."""
     d = load(spark, sf_dir, "documents")
-    rel = (
-        _tokens(spark, sf_dir)
-        .filter(F.col("word") == "spark")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("tf"))
-    )
+    cleaned = F.regexp_replace(F.lower("text"), "[^a-z\\s]", "")
+    tf = F.regexp_count(cleaned, F.lit("(?<![a-z])spark(?![a-z])")).cast("long")
     return (
-        d.join(rel, "doc_id", "left")
-        .select(
+        _spread(d.select("doc_id", "text")).select(
             "doc_id",
             F.round(
-                0.7 * F.coalesce(F.col("tf"), F.lit(0))
-                + 0.3 * (F.col("doc_id") % 100) / 100.0,
-                6,
+                0.7 * tf + 0.3 * (F.col("doc_id") % 100) / 100.0, 6
             ).alias("score"),
         )
         .orderBy(F.desc("score"), "doc_id")
@@ -779,26 +875,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search baseline: brute-force cosine against one query
-    vector, JVM-side (posexplode + hash agg — no UDF)."""
+    vector, JVM-side (array algebra — no UDF).
+
+    Optimization round 6 (guide §2.4): the old plan posexploded every
+    vector into dim× rows, shuffled them through a dim-keyed join against
+    the exploded query vector, and hash-aggregated dim rows back per vec.
+    But cosine against ONE query vector is a per-row reduction: fetch the
+    query vector once (1-row head), inline it as a literal array, and
+    compute dot/norm with zip_with + aggregate per row — no explode, no
+    join, no exchange at all."""
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "qv")
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("qe"))
+        .head()[0]
     )
-    flat = e.select(
+    sq = 0.0
+    for x in q:  # same sequential IEEE adds the JVM fold would do
+        sq += x * x
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    emb = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(emb, qlit, lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    nv = F.aggregate(
+        F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    import math as _math
+
+    return e.select(
         "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),
-    )
-    return (
-        flat.join(q, "i")
-        .groupBy("vec_id")
-        .agg(
-            F.round(
-                F.sum(F.col("v") * F.col("qv"))
-                / (F.sqrt(F.sum(F.col("v") * F.col("v")))
-                   * F.sqrt(F.sum(F.col("qv") * F.col("qv")))),
-                4,
-            ).alias("cos_sim")
-        )
+        F.round(
+            dot / (F.sqrt(nv) * F.lit(_math.sqrt(sq))), 4
+        ).alias("cos_sim"),
     )
 
 
@@ -1059,8 +1169,13 @@ def crawl_wave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") % 97) / 97.0).alias("rank"),
         "doc_id",
     )
+    # optimization round 6 (guide §3.1): the seen set is ~1/7 of the
+    # frontier and key-only — broadcast it so the anti-join is a
+    # BroadcastHashJoin and the frontier side is never exchanged (the
+    # pre-politeness shuffle disappears; the engine's wave() uses the
+    # same discipline via its bloom pre-filter + seen-side sizing)
     seen = frontier.filter(F.col("doc_id") % 7 == 3).select("url")
-    unseen = frontier.join(seen, "url", "left_anti")
+    unseen = frontier.join(F.broadcast(seen), "url", "left_anti")
     w = Window.partitionBy("host").orderBy("rank", "url")
     capped = unseen.withColumn("host_rn", F.row_number().over(w).cast("long")).filter(
         F.col("host_rn") <= 10
