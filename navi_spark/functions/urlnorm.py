@@ -194,11 +194,76 @@ def base_url_py(url: Optional[str]) -> Optional[str]:
     return base
 
 
+# Fast-path eligibility (optimization round 6, guide §4.2): URLs over a
+# restricted charset where every reference-pipeline step is the identity —
+# no %-escapes or '+' (both decodes are no-ops; every fast char survives
+# java form-encoding verbatim or is re-exposed), no all-dot path segments
+# (dot-segment normalization is a no-op), no empty segments, host labels
+# non-empty (no '..'/leading/trailing dot BEFORE the rewrite — re-checked
+# after). For those rows the canonical form is a pure regex decomposition
+# + the host rewrite, vectorized in pandas; everything else falls back to
+# the per-row reference kernel. Parity with normalize_url_py is asserted
+# element-wise in tests/test_urlnorm.py.
+# RE2-safe (no lookaheads — all-dot path segments are screened separately);
+# evaluated by pyarrow.compute, i.e. vectorized C, not per-row Python `re`.
+_FAST_RE2 = (
+    r"^(?:(?P<scheme>https?)://)?"
+    r"(?P<host>[a-z0-9_-]+(?:\.[a-z0-9_-]+)*)"
+    r"(?::(?P<port>\d+))?"
+    r"(?P<path>(?:/[a-z0-9_.-]+)*?)"
+    r"(?P<ts>/?)"
+    r"(?:\?.*)?$"
+)
+
+
+def _normalize_vec(urls: pd.Series) -> pd.Series:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(urls, type=pa.string())
+    a = pc.utf8_lower(pc.utf8_trim_whitespace(arr))
+    ext = pc.extract_regex(a, _FAST_RE2)
+    matched = pc.is_valid(ext)
+    path = pc.struct_field(ext, "path")
+    # all-dot segments ("." / ".." / "...") need real dot-segment
+    # normalization → those rows take the reference kernel instead
+    dot_seg = pc.match_substring_regex(path, r"/\.+(/|$)")
+    fast = pc.and_kleene(matched, pc.invert(dot_seg))
+    fast = pc.fill_null(fast, False)
+    h = pc.struct_field(ext, "host")
+    h = pc.if_else(pc.starts_with(h, "www2"),
+                   pc.utf8_slice_codeunits(h, 5, 2**30), h)
+    h = pc.if_else(pc.starts_with(h, "www"),
+                   pc.utf8_slice_codeunits(h, 4, 2**30), h)
+    h = pc.if_else(pc.ends_with(h, ".eg"),
+                   pc.utf8_replace_slice(h, -3, 2**30, ""), h)
+    bad = pc.or_(
+        pc.or_(pc.equal(h, ""), pc.starts_with(h, ".")),
+        pc.or_(pc.ends_with(h, "."), pc.match_substring(h, "..")),
+    )
+    scheme = pc.struct_field(ext, "scheme")
+    scheme = pc.if_else(pc.equal(scheme, ""), pa.scalar("https"), scheme)
+    out = pc.binary_join_element_wise(scheme, "://", h, path, "")
+    out = pc.if_else(bad, pa.scalar(None, pa.string()), out)
+    fast_pd = fast.to_pandas()
+    fast_pd.index = urls.index
+    res = pd.Series(index=urls.index, dtype=object)
+    if fast_pd.any():
+        out_pd = out.to_pandas()
+        out_pd.index = urls.index
+        res[fast_pd] = out_pd[fast_pd]
+    slow = ~fast_pd
+    if slow.any():
+        res[slow] = urls[slow].map(normalize_url_py, na_action="ignore")
+    return res
+
+
 @pandas_udf(StringType())
 def normalize_url_udf(urls: pd.Series) -> pd.Series:
-    """Arrow-batched canonicalizer (C3). Vectorized transfer; the per-element
-    logic is the exact reference pipeline above."""
-    return urls.map(normalize_url_py, na_action="ignore")
+    """Arrow-batched canonicalizer (C3): vectorized fast path for the
+    identity-charset subset (see _normalize_vec), exact per-element
+    reference pipeline for the rest."""
+    return _normalize_vec(urls)
 
 
 @pandas_udf(StringType())

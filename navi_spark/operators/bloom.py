@@ -143,3 +143,90 @@ def annotate_maybe_seen(
         .cogroup(filters_df.groupBy("host_partition"))
         .applyInPandas(check, out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Literal bloom predicate (optimization round 6, guide §3.2): a bloom
+# filter baked into a pure-JVM column expression — an array<long> literal
+# probed with k (shift, element_at, bit-test) chains. Unlike a broadcast
+# semi-join, this is a plain deterministic FILTER, so Catalyst pushes it
+# below Arrow-UDF projections (a semi-join provably is not pushed — see
+# plans/r06), which lets store-prune predicates reach row-generation /
+# scan level. Build-side arithmetic mirrors the JVM expression EXACTLY
+# (two's-complement int64 wrap + floor-mod), so membership has no false
+# negatives by construction; false positives only pass the prune and are
+# dropped by the exact joins behind it.
+# ---------------------------------------------------------------------------
+
+def _lb_hashes_py(keys, m_bits: int):
+    """(h_a, h_b) bases for the overflow-free double-hash probe sequence,
+    numpy twin of the JVM expressions in literal_bloom_predicate: ANSI
+    mode forbids wrapping multiplies, so the second hash is an xor-shift
+    fold (shift/xor/pmod only — every intermediate fits a long)."""
+    h1 = np.asarray(keys, dtype=np.int64)
+    h_a = np.mod(h1, m_bits)                      # floor-mod == JVM pmod
+    x = h1 ^ (h1 >> np.int64(33))                 # arithmetic shift, as JVM
+    h_b = np.mod(x, m_bits - 1) + 1               # 1..m-1, never 0
+    return h_a, h_b
+
+
+def literal_bloom_build(
+    keys, fpp: float = 0.005
+) -> tuple[list[int], int, int]:
+    """(words, m_bits, k) over SIGNED int64 keys (e.g. collected
+    xxhash64 values)."""
+    n = max(len(keys), 1)
+    m_bits, k = sizing(n, fpp)
+    m_bits = ((m_bits + 63) // 64) * 64
+    h_a, h_b = _lb_hashes_py(keys, m_bits)
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for i in range(k):
+        idx = np.mod(h_a + i * h_b, m_bits)
+        np.bitwise_or.at(
+            words, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64)
+        )
+    return [int(w) for w in words.view(np.int64)], m_bits, k
+
+
+def literal_bloom_predicate(
+    words: list[int], m_bits: int, k: int, key_col
+):
+    """Membership Column over a signed-int64 key column — JVM-only, no
+    broadcast, no Python; AND of k bit probes. Arithmetic is exactly
+    :func:`_lb_hashes_py` (shift/xor/pmod — ANSI-safe, no overflow).
+
+    The word table ships as ONE string literal parsed by a foldable
+    split+cast (ConstantFolding collapses it to a single Literal(ArrayData)
+    before execution): `F.lit([...])` builds a CreateArray with one child
+    Literal per word — measured 1.2 s to construct and a 2068-node subtree
+    per probe in codegen."""
+    arr = F.split(
+        F.lit(",".join(str(w) for w in words)), ","
+    ).cast("array<bigint>")
+    h1 = key_col
+    h_a = F.pmod(h1, F.lit(m_bits))
+    x = h1.bitwiseXOR(F.shiftright(h1, 33))
+    h_b = F.pmod(x, F.lit(m_bits - 1)) + F.lit(1)
+    pred = None
+    for i in range(k):
+        idx = F.pmod(h_a + F.lit(i) * h_b, F.lit(m_bits))
+        word = F.element_at(arr, F.shiftright(idx, 6).cast("int") + 1)
+        bit = F.call_function(
+            "shiftright", word, F.pmod(idx, F.lit(64)).cast("int")
+        ).bitwiseAND(F.lit(1))
+        t = bit == 1
+        pred = t if pred is None else pred & t
+    return pred
+
+
+def literal_bloom_maybe_py(
+    words: list[int], m_bits: int, k: int, keys
+) -> "np.ndarray":
+    """Python twin of :func:`literal_bloom_predicate` (parity tests)."""
+    wu = np.asarray(words, dtype=np.int64).view(np.uint64)
+    h_a, h_b = _lb_hashes_py(keys, m_bits)
+    out = np.ones(len(h_a), dtype=bool)
+    for i in range(k):
+        idx = np.mod(h_a + i * h_b, m_bits)
+        out &= (wu[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1) != 0
+    return out

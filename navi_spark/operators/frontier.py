@@ -1064,31 +1064,48 @@ class CrawlEngine:
             F.col("phash").alias("new_phash"),
             F.col("caption").alias("new_caption"),
         )
-        # the pruning key sets broadcast 8-byte xxhash64 keys, not strings
-        # (~10× smaller driver-side build); a hash-collision false positive
-        # merely passes the prune and fails to match in the exact LEFT
-        # joins below, so the prune is lossless by construction
+        # the pruning key sets are 8-byte xxhash64 keys, not strings (~10×
+        # smaller driver-side); a hash-collision false positive merely
+        # passes the prune and fails to match in the exact LEFT joins
+        # below, so the prune is lossless by construction.
+        # r06: the keys are collected (bounded by budget_consumed — the
+        # same driver-side gate) and applied as InSet FILTERS rather than
+        # broadcast semi-joins: a filter pushes below the Arrow-UDF
+        # columns of a generated/columnar source (a semi-join provably
+        # does not — plans/r06), so the web/image stores row-prune
+        # GENERATION itself, not just the exchange. The web side of the
+        # classification join is then pure JVM end-to-end, and the image
+        # store synthesizes pixels only for the ~|store| referenced rows
+        # instead of all |web| of them.
         prune_scans = 0 < self.budget_consumed <= RECRAWL_BROADCAST_MAX
         if prune_scans:
-            old_keys = old.select(F.xxhash64("url").alias("_kh"))
-            web_side = web_side.join(
-                F.broadcast(old_keys),
-                F.xxhash64(F.col("url")) == F.col("_kh"), "left_semi",
+            from navi_spark.operators.bloom import (
+                literal_bloom_build,
+                literal_bloom_predicate,
             )
+
+            old_keys = [
+                r[0] for r in old.select(F.xxhash64("url")).collect()
+            ]
+            web_bf = literal_bloom_build(old_keys, fpp=0.01)
+            web_pred = literal_bloom_predicate(
+                *web_bf, F.xxhash64(F.col("url"))
+            )
+            web_side = web_side.filter(web_pred)
             # image keys referenced by the matched web rows: re-derive via
             # a second pruned web scan (column-pruned to url+image_id,
-            # map-side filtered — cheaper than materializing the join)
-            img_keys = (
-                self.web.join(
-                    F.broadcast(old_keys),
-                    F.xxhash64(F.col("url")) == F.col("_kh"), "left_semi",
+            # map-side filtered — cheaper than materializing the join).
+            # set() both dedups shared images and drops bloom-FP extras.
+            img_keys = sorted({
+                r[0]
+                for r in self.web.filter(web_pred)
+                .select(F.xxhash64("image_id")).collect()
+            })
+            img_bf = literal_bloom_build(img_keys, fpp=0.01)
+            img_side = img_side.filter(
+                literal_bloom_predicate(
+                    *img_bf, F.xxhash64(F.col("new_image_id"))
                 )
-                .select(F.xxhash64("image_id").alias("_ih"))
-            )
-            img_side = img_side.join(
-                F.broadcast(img_keys),
-                F.xxhash64(F.col("new_image_id")) == F.col("_ih"),
-                "left_semi",
             )
         re_f = (
             old.select(

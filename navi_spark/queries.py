@@ -273,6 +273,9 @@ def c15_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation replaces the window (which shuffled every row and
     paid a per-group sort); the exchange now carries one partial row per
     (hash, partition) instead of the whole table."""
+    # no _spread here (A/B'd): md5 is ~1µs/row, so shuffling raw text to
+    # parallelize it costs more than the serial map-side hash — the
+    # partial agg already shrinks the exchange to (hash, min_id) rows
     d = load(spark, sf_dir, "documents")
     return (
         d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
@@ -762,7 +765,10 @@ def r11_phrase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def r12_boolean_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R12: boolean phrase algebra — AND=intersect, NOT=except
     (Ranker.java:410-598), left-to-right."""
-    d = load(spark, sf_dir, "documents")
+    # _spread: three full-text rlike scans over a single-row-group file
+    # would each run on ~1 task (guide §2.5); one hash exchange of the raw
+    # rows parallelizes all three regex branches
+    d = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def docs(rx):
         return d.filter(F.col("text").rlike(rx)).select("doc_id")
@@ -967,7 +973,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             else sum(s.count(t) for t in _EN_TRIGRAMS)
         ).astype("int64")
 
-    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    d = _spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).filter(F.length("text") >= 3)
     hits = hits_udf(F.lower(F.col("text")))
     score = hits.cast("double") / (F.length("text") - 2)
     return d.select(
@@ -999,7 +1007,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     local[16], this form and a pandas-UDF stopword count both run ~2.2 s
     (identical sums) — the JVM regex split dominates and the lambda runs
     ~word-count evals/row, not ~char-count like langid's trigram array."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents")
+                .select("doc_id", "text", "n_chars"))
     words = F.split(F.col("text"), "\\s+")
     # stopword OCCURRENCES (not distinct) via a higher-order filter
     n_stop_occ = F.size(
@@ -1025,7 +1034,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercased text."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.select(
         "doc_id",
         F.md5(

@@ -101,18 +101,73 @@ def generate_images(spark: SparkSession, n: int, parts: int | None = None) -> Da
     ``(image_id, bytes, w, h, fmt, caption, phash)``; ~2% exact-duplicate
     rows (same pixels + phash, own image_id) to exercise content dedup
     (reference C15, crawler/HashingManager.java:21-56).
-    """
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            rows = [_image_row(int(i)) for i in b["id"]]
-            yield pd.DataFrame(
-                rows,
-                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
-            )
+    Optimization round 6 (guide §4.1/§6): per-column expressions instead of
+    one opaque mapInPandas, so the table behaves like a columnar store:
+    image_id/w/h/fmt are pure JVM (the _u01 size/format draws are exact
+    integer+IEEE arithmetic), and bytes / caption / phash are separate
+    Arrow UDFs — a reader that needs only the light metadata (the recrawl
+    classification reads (image_id, phash, caption)) never runs the PNG
+    encoder, and a pushable filter on image_id row-prunes pixel synthesis
+    itself. Values are bit-identical to :func:`_image_row` (asserted in
+    tests/test_codec_datagen.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _src(ids: pd.Series) -> np.ndarray:
+        idx = ids.to_numpy()
+        dup = (idx >= 50) & np.isin(idx % 100, _DUP_RESIDUES)
+        return np.where(dup, idx - 50, idx)
+
+    @pandas_udf("binary")
+    def _bytes(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            src, dup_of = i, None
+            if i >= 50 and i % 100 in _DUP_RESIDUES:
+                src = i - 50
+                dup_of = f"img{src:010d}"
+            w = _SIZES[int(_u01(src, 1) * 3)]
+            h = _SIZES[int(_u01(src, 2) * 3)]
+            fmt = "png" if _u01(src, 3) < 0.8 else "jpeg"
+            px = make_pixels(f"img{i:010d}", w, h, dup_of=dup_of)
+            out.append(encode_image(px, fmt))
+        return pd.Series(out)
+
+    @pandas_udf("string")
+    def _caption(ids: pd.Series) -> pd.Series:
+        return pd.Series([_caption_for(int(s)) for s in _src(ids)])
+
+    @pandas_udf("long")
+    def _phash(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            src, dup_of = i, None
+            if i >= 50 and i % 100 in _DUP_RESIDUES:
+                src = i - 50
+                dup_of = f"img{src:010d}"
+            w = _SIZES[int(_u01(src, 1) * 3)]
+            h = _SIZES[int(_u01(src, 2) * 3)]
+            px = make_pixels(f"img{i:010d}", w, h, dup_of=dup_of)
+            out.append(phash64(px))
+        return pd.Series(out, dtype="int64")
 
     rng = spark.range(n, numPartitions=parts) if parts else spark.range(n)
-    return rng.mapInPandas(gen, IMAGES_SCHEMA)
+    idc = F.col("id")
+    src = F.when(
+        (idc >= 50) & F.pmod(idc, F.lit(100)).isin(*_DUP_RESIDUES), idc - 50
+    ).otherwise(idc)
+    sizes = F.array(*[F.lit(s) for s in _SIZES])
+    return rng.select(
+        F.format_string("img%010d", idc).alias("image_id"),
+        _bytes("id").alias("bytes"),
+        F.element_at(sizes, (_u01_expr(src, 1) * 3).cast("int") + 1).alias("w"),
+        F.element_at(sizes, (_u01_expr(src, 2) * 3).cast("int") + 1).alias("h"),
+        F.when(_u01_expr(src, 3) < 0.8, "png").otherwise("jpeg").alias("fmt"),
+        _caption("id").alias("caption"),
+        _phash("id").alias("phash"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +244,180 @@ def children_of(i: int, n_urls: int, n_hosts: int, max_children: int = 8) -> lis
     ]
 
 
+# ---------------------------------------------------------------------------
+# vectorized URL kernels (optimization round 6, guide §4.2): the scalar
+# functions above stay the parity oracles; these numpy/pandas forms compute
+# the SAME values batch-at-a-time for the Arrow generators below
+# (tests/test_codec_datagen.py asserts vec ≡ scalar element-by-element).
+# Bit-exactness notes: the _u01 pipeline is pure 32-bit integer arithmetic
+# (exact in uint64), the final /2^32 and *k truncations are IEEE-exact, and
+# u**3.0 calls the same C libm pow() from CPython and numpy.
+# ---------------------------------------------------------------------------
+
+
+def _u01_vec(idx: np.ndarray, salt: int) -> np.ndarray:
+    x = (
+        idx.astype(np.uint64) * np.uint64(2654435761)
+        + np.uint64(salt * 40503 + SEED * 97)
+    ) & np.uint64(0xFFFFFFFF)
+    x ^= x >> np.uint64(16)
+    x = (x * np.uint64(0x45D9F3B)) & np.uint64(0xFFFFFFFF)
+    x ^= x >> np.uint64(16)
+    return x.astype(np.float64) / 4294967296.0
+
+
+def host_id_for_vec(idx: np.ndarray, n_hosts: int) -> np.ndarray:
+    u = _u01_vec(idx, 11)
+    return (n_hosts * (u ** 3.0)).astype(np.int64) % n_hosts
+
+
+def host_name_vec(hid: np.ndarray) -> pd.Series:
+    base = "host" + pd.Series(hid).astype(str) + ".test"
+    m = hid % 17
+    out = base.copy()
+    out[m == 3] = "www." + base
+    out[m == 5] = "www2." + base
+    out[m == 7] = base + ".eg"
+    return out
+
+
+def canonical_url_vec(idx: np.ndarray, n_hosts: int) -> pd.Series:
+    hid = host_id_for_vec(idx, n_hosts)
+    return (
+        "https://host" + pd.Series(hid).astype(str) + ".test/p/"
+        + pd.Series(idx).astype(str)
+    )
+
+
+def canonical_host_vec(idx: np.ndarray, n_hosts: int) -> pd.Series:
+    return "host" + pd.Series(host_id_for_vec(idx, n_hosts)).astype(str) + ".test"
+
+
+def dirty_url_vec(idx: np.ndarray, n_hosts: int) -> pd.Series:
+    hid = host_id_for_vec(idx, n_hosts)
+    host = host_name_vec(hid)
+    i_s = pd.Series(idx).astype(str)
+    path = "/p/" + i_s
+    v = idx % 8
+    out = ("https://" + host + path).copy()          # v == 0
+    m = v == 1
+    out[m] = "HTTPS://" + host[m].str.upper() + path[m].str.upper()
+    m = v == 2
+    out[m] = host[m] + path[m]
+    m = v == 3
+    out[m] = "https://" + host[m] + ":443" + path[m]
+    m = v == 4
+    out[m] = "https://" + host[m] + path[m] + "?utm=x&y=1"
+    m = v == 5
+    out[m] = "https://" + host[m] + path[m] + "/"
+    m = v == 6
+    # ord('0'..'9') is 0x30..0x39, so "%{ord(s[0]):02x}" is always "3"+s[0]
+    out[m] = "https://" + host[m] + "/p/%3" + i_s[m].str[0] + i_s[m].str[1:]
+    m = v == 7
+    out[m] = "https://" + host[m] + "/./p/" + i_s[m]
+    return out
+
+
+def _children_lists(
+    idx: np.ndarray, n_urls: int, n_hosts: int, dirty: bool,
+    max_children: int = 8, extra_version: int = 0,
+) -> pd.Series:
+    """Vectorized children_of / children_dirty (+ web drift link): the k
+    per-row link counts and all candidate child URL strings are computed
+    batch-at-a-time; only the final per-row list slicing is a Python loop."""
+    k = (_u01_vec(idx, 21) * (max_children + 1)).astype(np.int64)
+    build = dirty_url_vec if dirty else canonical_url_vec
+    cols = [
+        build((idx * 2654435761 + j * 40503 + 12345) % n_urls, n_hosts)
+        .to_numpy()
+        for j in range(max_children)
+    ]
+    if extra_version:
+        extra = dirty_url_vec(
+            (idx * 31 + extra_version * 17) % n_urls, n_hosts
+        ).to_numpy()
+        even = idx % 2 == 0
+        return pd.Series(
+            [
+                [cols[j][r] for j in range(k[r])] + ([extra[r]] if even[r] else [])
+                for r in range(len(idx))
+            ]
+        )
+    return pd.Series(
+        [[cols[j][r] for j in range(k[r])] for r in range(len(idx))]
+    )
+
+
+def _u01_expr(idc, salt: int):
+    """JVM twin of :func:`_u01` — same 32-bit integer pipeline as Catalyst
+    column expressions (exact: every step fits a long; /2^32 on a < 2^32
+    integer is IEEE-exact). Lets light generator columns (depth_hint,
+    image ids, sizes) evaluate without any Python at all."""
+    x = (idc * F.lit(2654435761) + F.lit(salt * 40503 + SEED * 97)).bitwiseAND(
+        F.lit(0xFFFFFFFF)
+    )
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    x = (x * F.lit(0x45D9F3B)).bitwiseAND(F.lit(0xFFFFFFFF))
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    return x.cast("double") / F.lit(4294967296.0)
+
+
+def _host_id_expr(idc, n_hosts: int):
+    """JVM twin of :func:`host_id_for`. The one non-integer step is
+    pow(u, 3.0); Java Math.pow and C libm pow were compared element-wise
+    over ids 0..10M for every n_hosts the fixtures use (10..4000) with
+    zero diffs (OPTIMIZATION_r06.md), and the vec/scalar parity test
+    would catch any future divergence on the tested range."""
+    u = _u01_expr(idc, 11)
+    return F.pmod(
+        (F.lit(float(n_hosts)) * F.pow(u, F.lit(3.0))).cast("long"),
+        F.lit(n_hosts),
+    )
+
+
+def _host_name_expr(hid):
+    base = F.format_string("host%d.test", hid)
+    m = F.pmod(hid, F.lit(17))
+    return (
+        F.when(m == 3, F.concat(F.lit("www."), base))
+        .when(m == 5, F.concat(F.lit("www2."), base))
+        .when(m == 7, F.concat(base, F.lit(".eg")))
+        .otherwise(base)
+    )
+
+
+def _canonical_url_expr(idc, n_hosts: int):
+    return F.format_string(
+        "https://host%d.test/p/%d", _host_id_expr(idc, n_hosts), idc
+    )
+
+
+def _dirty_url_expr(idc, n_hosts: int):
+    """JVM twin of :func:`dirty_url` — all 8 variants as when() branches
+    (v==1 uses upper() of the whole URL: scheme/path are caseless digits,
+    so it equals the scalar's host.upper()+path.upper())."""
+    hid = _host_id_expr(idc, n_hosts)
+    host = _host_name_expr(hid)
+    i_s = idc.cast("string")
+    path = F.concat(F.lit("/p/"), i_s)
+    std = F.concat(F.lit("https://"), host, path)
+    v = F.pmod(idc, F.lit(8))
+    return (
+        F.when(v == 1, F.upper(std))
+        .when(v == 2, F.concat(host, path))
+        .when(v == 3, F.concat(F.lit("https://"), host, F.lit(":443"), path))
+        .when(v == 4, F.concat(std, F.lit("?utm=x&y=1")))
+        .when(v == 5, F.concat(std, F.lit("/")))
+        # ord('0'..'9') is 0x30..0x39 → "%{ord(s[0]):02x}" ≡ "3"+s[0]
+        .when(v == 6, F.concat(
+            F.lit("https://"), host, F.lit("/p/%3"),
+            F.substring(i_s, 1, 1), F.substring(i_s, 2, 18),
+        ))
+        .when(v == 7, F.concat(F.lit("https://"), host, F.lit("/./p/"), i_s))
+        .otherwise(std)
+    )
+
+
 def generate_urls(
     spark: SparkSession,
     n_urls: int,
@@ -201,29 +430,43 @@ def generate_urls(
 
     ``url`` is the RAW (dirty) spelling when ``dirty=True`` — the frontier
     pipeline must canonicalize it. ``host`` is the canonical host (ground
-    truth for assertions only; the engine re-derives it)."""
+    truth for assertions only; the engine re-derives it).
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            idx = [int(i) for i in b["id"]]
-            yield pd.DataFrame(
-                {
-                    "url": [
-                        dirty_url(i, n_hosts) if dirty else canonical_url(i, n_hosts)
-                        for i in idx
-                    ],
-                    "host": [canonical_host(host_id_for(i, n_hosts)) for i in idx],
-                    "image_id": [f"img{i % max(n_urls, 1):010d}" for i in idx],
-                    "depth_hint": [int(_u01(i, 31) * 6) for i in idx],
-                    "children": [
-                        children_of(i, n_urls, n_hosts) if with_children else []
-                        for i in idx
-                    ],
-                }
-            )
+    Optimization round 6 (guide §4.1/§6): the table is no longer one opaque
+    mapInPandas — each column is its own expression, and every column
+    except the children lists is PURE JVM (the pow() in the host hash was
+    verified bit-identical Java-vs-C over the full fixture domain — see
+    _host_id_expr). Spark's column pruning and filter pushdown now reach
+    the generator, so a consumer that selects only ``url`` (the bench
+    frontier) runs no Python at all — the per-task Python runner handshake
+    alone cost ~0.7 s at 500k×64 partitions — and a pushable filter
+    row-prunes generation itself. Values are element-wise identical to the
+    scalar kernels (asserted in tests)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _children(ids: pd.Series) -> pd.Series:
+        return _children_lists(
+            ids.to_numpy(), n_urls, n_hosts, dirty=False
+        ).reset_index(drop=True)
 
     rng = spark.range(n_urls, numPartitions=parts) if parts else spark.range(n_urls)
-    return rng.mapInPandas(gen, URLS_SCHEMA)
+    idc = F.col("id")
+    children_col = (
+        _children("id") if with_children
+        else F.array().cast("array<string>")
+    )
+    url = (_dirty_url_expr(idc, n_hosts) if dirty
+           else _canonical_url_expr(idc, n_hosts))
+    return rng.select(
+        url.alias("url"),
+        F.format_string("host%d.test", _host_id_expr(idc, n_hosts)
+                        ).alias("host"),
+        F.format_string("img%010d", F.pmod(idc, F.lit(max(n_urls, 1)))
+                        ).alias("image_id"),
+        (_u01_expr(idc, 31) * 6).cast("int").alias("depth_hint"),
+        children_col.alias("children"),
+    )
 
 
 def generate_seeds(n_seeds: int, n_urls: int, n_hosts: int = 100) -> list[str]:
@@ -311,30 +554,41 @@ def generate_web(
     models server-side drift between a crawl and a recrawl (C21)."""
     n_images = n_images if n_images is not None else n_urls
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            idx = [int(i) for i in b["id"]]
-            urls = [canonical_url(i, n_hosts) for i in idx]
-            yield pd.DataFrame(
-                {
-                    "url": urls,
-                    "image_id": [
-                        web_image_id(i, n_images, version) for i in idx
-                    ],
-                    "children": [
-                        web_children(i, n_urls, n_hosts, version) for i in idx
-                    ],
-                    # per-server validator behavior travels WITH the web
-                    # table (the engine stays universe-agnostic: it reads
-                    # this column instead of knowing host naming rules)
-                    "honors_304": [
-                        host_supports_validators(_host_of_py(u)) for u in urls
-                    ],
-                }
-            )
+    # Optimization round 6 (guide §4.1/§6): per-column expressions instead
+    # of one opaque mapInPandas. The recrawl classification join selects
+    # only (url, image_id, honors_304) — ALL pure JVM now — so the
+    # CHILDREN column, by far the heaviest (per-row Python list of
+    # dirty-spelled URLs), is pruned out of the plan entirely and no
+    # Python worker is touched; a pushable filter on url/image_id
+    # row-prunes generation. honors_304 ≡ host_supports_validators:
+    # hid % 4 != 1 with the same allow-on-no-match default.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _children(ids: pd.Series) -> pd.Series:
+        return _children_lists(
+            ids.to_numpy(), n_urls, n_hosts, dirty=True,
+            extra_version=version,
+        ).reset_index(drop=True)
 
     rng = spark.range(n_urls, numPartitions=parts) if parts else spark.range(n_urls)
-    return rng.mapInPandas(gen, WEB_SCHEMA)
+    idc = F.col("id")
+    fails = _u01_expr(idc, 41) < 0.03
+    base = F.pmod(idc, F.lit(n_images))
+    if version:
+        base = F.when(
+            F.pmod(idc, F.lit(3)) == 0, F.pmod(idc + version, F.lit(n_images))
+        ).otherwise(base)
+    image_id = F.when(
+        fails, F.format_string("imgmissing%07d", idc)
+    ).otherwise(F.format_string("img%010d", base))
+    honors = F.pmod(_host_id_expr(idc, n_hosts), F.lit(4)) != 1
+    return rng.select(
+        _canonical_url_expr(idc, n_hosts).alias("url"),
+        image_id.alias("image_id"),
+        _children("id").alias("children"),
+        honors.alias("honors_304"),
+    )
 
 
 # ---------------------------------------------------------------------------

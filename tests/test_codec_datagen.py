@@ -116,3 +116,52 @@ def test_robots_coverage(spark):
     assert "host0.test" not in rows  # 404 hosts absent → allow-all default
     assert "Disallow: /p/1*" in rows["host5.test"]["robots_txt"]
     assert rows["host8.test"]["crawl_delay_s"] == pytest.approx(2.0)
+
+
+def test_vectorized_kernels_match_scalar_oracles():
+    """r06 generator restructure: the vectorized numpy/pandas URL kernels
+    feeding the Arrow generators must stay element-wise identical to the
+    scalar parity oracles (incl. the pow()-based host hash and every
+    dirty-url variant)."""
+    import numpy as np
+
+    from navi_spark.sources import datagen as dg
+
+    idx = np.array(
+        list(range(400)) + [999, 5_003, 77_777, 123_456, 999_999],
+        dtype=np.int64,
+    )
+    hid_v = dg.host_id_for_vec(idx, 73)
+    du = dg.dirty_url_vec(idx, 73)
+    cu = dg.canonical_url_vec(idx, 73)
+    ch = dg._children_lists(idx, 10_000, 73, dirty=True, extra_version=2)
+    for p, i in enumerate(int(x) for x in idx):
+        assert hid_v[p] == dg.host_id_for(i, 73), i
+        assert du.iloc[p] == dg.dirty_url(i, 73), i
+        assert cu.iloc[p] == dg.canonical_url(i, 73), i
+        assert ch.iloc[p] == dg.web_children(i, 10_000, 73, 2), i
+
+
+def test_generators_match_scalar_rows(spark):
+    """r06 generator restructure: the per-column generate_images table is
+    bit-identical to the _image_row scalar (bytes included), and the
+    generate_web drift columns match web_image_id/honors semantics."""
+    from navi_spark.functions.urlnorm import host_of_py
+    from navi_spark.sources import datagen as dg
+
+    got = sorted(dg.generate_images(spark, 160, parts=3).collect(),
+                 key=lambda r: r["image_id"])
+    for i in range(160):
+        exp = dg._image_row(i)
+        r = got[i]
+        assert (r["image_id"], bytes(r["bytes"]), r["w"], r["h"], r["fmt"],
+                r["caption"], r["phash"]) == exp, i
+    rows = {r["url"]: r for r in dg.generate_web(spark, 500, 40,
+                                                 version=1).collect()}
+    for i in range(0, 500, 7):
+        u = dg.canonical_url(i, 40)
+        r = rows[u]
+        assert r["image_id"] == dg.web_image_id(i, 500, 1), i
+        assert list(r["children"]) == dg.web_children(i, 500, 40, 1), i
+        assert r["honors_304"] == dg.host_supports_validators(
+            host_of_py(u)), i

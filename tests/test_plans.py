@@ -294,8 +294,12 @@ def test_payload_validation_not_relocated_below_store_semi_join(spark):
         "_fail",
         validate_payload_udf("image_id", "bytes", "fmt", "w", "h", "caption"),
     )
-    # downstream predicate on the verdict — the pushdown bait
+    # downstream predicate on the verdict — the pushdown bait. Since the
+    # r06 generator restructure, generate_images contributes its own
+    # ArrowEvalPython nodes (per-column Arrow UDFs), so the guard pins the
+    # VALIDATE udf specifically: exactly one evaluation, and it sits above
+    # the semi join (on the pruned sliver), never re-run below it.
     plan = (meta.filter(F.col("_fail").isNotNull())
             ._jdf.queryExecution().executedPlan().toString())
-    assert plan.count("ArrowEvalPython") == 1, plan
-    assert plan.index("ArrowEvalPython") < plan.index("BroadcastHashJoin"), plan
+    assert plan.count("validate_payload") == 1, plan
+    assert plan.index("validate_payload") < plan.index("BroadcastHashJoin"), plan

@@ -145,3 +145,38 @@ def test_idempotent():
         if expected is None or " " in expected:
             continue
         assert normalize_url_py(expected) == expected, expected
+
+
+def test_vectorized_fast_path_matches_reference_kernel():
+    """r06: _normalize_vec (vectorized fast path + per-row fallback) must
+    equal normalize_url_py element-wise — over the dirty generator
+    universe AND adversarial edge spellings (dot segments, %-escapes, '+',
+    empty/all-dot segments, host-rewrite mangles, bad ports, userinfo)."""
+    import numpy as np
+    import pandas as pd
+
+    from navi_spark.functions.urlnorm import _normalize_vec
+    from navi_spark.sources import datagen as dg
+
+    urls = dg.dirty_url_vec(np.arange(20_000, dtype=np.int64), 500)
+    got = _normalize_vec(urls)
+    exp = urls.map(normalize_url_py)
+    assert (got == exp).all()
+
+    cases = [
+        "", "   ", None, "https://www2.x", "https://www.x", "wwwx.com/a",
+        "x.eg", "https://a..b/c", "HTTPS://HOST5.TEST:443/P/7/", "host:99/x",
+        "host:ab/x", "https://h.test/p/%35", "https://h.test/a+b",
+        "https://h.test/./a", "https://h.test/../a", "https://h.test//a",
+        "https://h.test/a/", "https://h.test/a//", "h.test/a?q=#frag",
+        "https://h.test/a#frag", "user@h.test/a", "https://h.test/...",
+        "https://h.test/..a/b", "https://h.test/a~b", "https://h.test/a*b",
+        "https://www2", "www.", "https://-x.test/a", "https://x_y.test/a",
+        "https://h.test:/a", "https://[::1]/a", "a:b:0/x",
+        "  https://H.TEST/A  ",
+    ]
+    got = _normalize_vec(pd.Series(cases, dtype=object))
+    for i, c in enumerate(cases):
+        g = got.iloc[i]
+        g = None if pd.isna(g) else g
+        assert g == normalize_url_py(c), (c, g)
