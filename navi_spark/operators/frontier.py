@@ -209,6 +209,10 @@ def _run_commits_concurrently(commits) -> None:
     for t in threads:
         t.join()
     if errors:
+        # surface EVERY thread's failure (r05 ADVICE): the first error can
+        # be a secondary symptom of another commit's root cause
+        for extra in errors[1:]:
+            errors[0].add_note(f"concurrent commit also failed: {extra!r}")
         raise errors[0]
 
 
@@ -1359,19 +1363,24 @@ class CrawlEngine:
 
 
 def _norm_children_kernel(arrs: pd.Series) -> pd.Series:
-    from navi_spark.functions.urlnorm import normalize_url_py
+    """r06 (guide §4.2): flatten every child URL of the batch into ONE
+    series, run the vectorized canonicalizer (pyarrow fast path + per-row
+    reference fallback — see urlnorm._normalize_vec), and regroup.
+    Per-element results are identical to mapping normalize_url_py
+    child-by-child (nulls dropped, order kept)."""
+    from navi_spark.functions.urlnorm import _normalize_vec
 
-    def one(arr):
-        if arr is None:
-            return []
-        out = []
-        for u in arr:
-            n = normalize_url_py(u)
-            if n is not None:
-                out.append(n)
-        return out
-
-    return arrs.map(one)
+    flat = [u for arr in arrs if arr is not None for u in arr]
+    if not flat:
+        return arrs.map(lambda a: [])
+    vals = _normalize_vec(pd.Series(flat, dtype=object)).to_numpy()
+    out = []
+    pos = 0
+    for arr in arrs:
+        n = 0 if arr is None else len(arr)
+        out.append([x for x in vals[pos:pos + n] if isinstance(x, str)])
+        pos += n
+    return pd.Series(out, index=arrs.index)
 
 
 def normalize_children(children_col):

@@ -198,6 +198,13 @@ def pagerank(
     _mark("checkpoint-action")
     edges.unpersist()
     nodes.unpersist()
+    # Block lifetime note (r05 ADVICE): the returned leaf is backed by
+    # localCheckpoint blocks that live until the RDD is GC'd (the
+    # ContextCleaner frees them); callers that hold the result long-term
+    # (recrawl writes the rank snapshot and drops the reference promptly)
+    # should not accumulate many of these, and the blocks are not
+    # fault-tolerant on a real cluster — a lost executor after return
+    # makes the result unrecoverable (acceptable in local mode).
     return out
 
 

@@ -207,3 +207,56 @@ def make_pixels(image_id: str, w: int, h: int, dup_of: str | None = None) -> np.
     for i in range(3):
         out[:, :, i] = np.clip(base + rng.uniform(-30, 30) + xyt[i], 0, 255)
     return out
+
+
+def make_pixels_batch(keys: list[str], w: int, h: int) -> np.ndarray:
+    """(B, h, w, 3) uint8 — :func:`make_pixels` for a same-shape batch
+    (optimization round 6, guide §4.2): the per-image trig/clip chains run
+    as one broadcasted array op over the whole batch instead of B small
+    ones. Elementwise arithmetic, operand order and the per-row rng draw
+    order are identical to the scalar kernel, so outputs are bit-identical
+    (asserted in tests/test_codec_parity.py); only the rng draws remain a
+    per-row loop (seeded per image id)."""
+    b = len(keys)
+    fx = np.empty(b)
+    fy = np.empty(b)
+    phase = np.empty(b)
+    offs = np.empty((b, 3))
+    for r, key in enumerate(keys):
+        rng = np.random.default_rng(zlib.crc32(key.encode()) & 0xFFFFFFFF)
+        fx[r], fy[r] = rng.uniform(0.5, 4.0, 2)
+        phase[r] = rng.uniform(0, 6.28)
+        offs[r] = [rng.uniform(-30, 30) for _ in range(3)]
+    x = np.arange(w, dtype=np.float64)
+    y = np.arange(h, dtype=np.float64)
+    sx = 60 * np.sin(2 * np.pi * fx[:, None] * x[None, :] / w
+                     + phase[:, None])                       # (B, w)
+    cy = 60 * np.cos(2 * np.pi * fy[:, None] * y[None, :] / h)  # (B, h)
+    base = (128 + sx[:, None, :]) + cy[:, :, None]           # (B, h, w)
+    xyt = _xy_terms(w, h)
+    out = np.empty((b, h, w, 3), dtype=np.uint8)
+    for i in range(3):
+        out[:, :, :, i] = np.clip(
+            base + offs[:, i, None, None] + xyt[i], 0, 255
+        )
+    return out
+
+
+def phash64_batch(pxs: np.ndarray) -> np.ndarray:
+    """int64 (B,) — :func:`phash64` for a (B, h, w, 3) batch: pooling and
+    the 64-bit pack run vectorized (the scalar kernel's per-bit Python
+    shift loop alone is ~60 µs/row). Same mean/threshold arithmetic; the
+    big-endian packbits matches the MSB-first shift order."""
+    gray = pxs.astype(np.float64).mean(axis=3)               # (B, h, w)
+    b, h, w = gray.shape
+    bh, bw = h // 8, w // 8
+    small = gray[:, : bh * 8, : bw * 8].reshape(
+        b, 8, bh, 8, bw).mean(axis=(2, 4))                   # (B, 8, 8)
+    bits = small > small.mean(axis=(1, 2))[:, None, None]
+    packed = np.packbits(bits.reshape(b, 64), axis=1)        # (B, 8) uint8
+    return (
+        np.frombuffer(np.ascontiguousarray(packed).tobytes(), dtype=">u8")
+        .astype(np.uint64)
+        .view(np.int64)
+        .copy()
+    )

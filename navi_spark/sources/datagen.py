@@ -113,25 +113,38 @@ def generate_images(spark: SparkSession, n: int, parts: int | None = None) -> Da
     tests/test_codec_datagen.py)."""
     from pyspark.sql.functions import pandas_udf
 
+    from navi_spark.sources.codec import make_pixels_batch, phash64_batch
+
     def _src(ids: pd.Series) -> np.ndarray:
         idx = ids.to_numpy()
         dup = (idx >= 50) & np.isin(idx % 100, _DUP_RESIDUES)
         return np.where(dup, idx - 50, idx)
 
+    def _shape_groups(ids: pd.Series):
+        """Rows grouped by (w, h) so pixel synthesis runs through the
+        batched kernel (guide §4.2) — the seed key is always img<src>
+        (make_pixels keys on dup_of when set, which IS img<src>)."""
+        src = _src(ids)
+        w = np.take(_SIZES, (_u01_vec(src, 1) * 3).astype(np.int64))
+        h = np.take(_SIZES, (_u01_vec(src, 2) * 3).astype(np.int64))
+        for wv in _SIZES:
+            for hv in _SIZES:
+                sel = np.nonzero((w == wv) & (h == hv))[0]
+                if len(sel):
+                    keys = [f"img{s:010d}" for s in src[sel]]
+                    yield sel, keys, wv, hv
+
     @pandas_udf("binary")
     def _bytes(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            src, dup_of = i, None
-            if i >= 50 and i % 100 in _DUP_RESIDUES:
-                src = i - 50
-                dup_of = f"img{src:010d}"
-            w = _SIZES[int(_u01(src, 1) * 3)]
-            h = _SIZES[int(_u01(src, 2) * 3)]
-            fmt = "png" if _u01(src, 3) < 0.8 else "jpeg"
-            px = make_pixels(f"img{i:010d}", w, h, dup_of=dup_of)
-            out.append(encode_image(px, fmt))
+        src = _src(ids)
+        fmt_png = _u01_vec(src, 3) < 0.8
+        out = [None] * len(ids)
+        for sel, keys, wv, hv in _shape_groups(ids):
+            pxs = make_pixels_batch(keys, wv, hv)
+            for p, r in enumerate(sel):
+                out[r] = encode_image(
+                    pxs[p], "png" if fmt_png[r] else "jpeg"
+                )
         return pd.Series(out)
 
     @pandas_udf("string")
@@ -140,17 +153,9 @@ def generate_images(spark: SparkSession, n: int, parts: int | None = None) -> Da
 
     @pandas_udf("long")
     def _phash(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            src, dup_of = i, None
-            if i >= 50 and i % 100 in _DUP_RESIDUES:
-                src = i - 50
-                dup_of = f"img{src:010d}"
-            w = _SIZES[int(_u01(src, 1) * 3)]
-            h = _SIZES[int(_u01(src, 2) * 3)]
-            px = make_pixels(f"img{i:010d}", w, h, dup_of=dup_of)
-            out.append(phash64(px))
+        out = np.empty(len(ids), dtype=np.int64)
+        for sel, keys, wv, hv in _shape_groups(ids):
+            out[sel] = phash64_batch(make_pixels_batch(keys, wv, hv))
         return pd.Series(out, dtype="int64")
 
     rng = spark.range(n, numPartitions=parts) if parts else spark.range(n)

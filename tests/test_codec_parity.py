@@ -89,3 +89,27 @@ def test_psnr_bit_parity_and_fastpath():
     # exact-equal images: both forms return +inf
     px = make_pixels("imgX", 16, 16)
     assert psnr(px, px) == float("inf") == _naive_psnr(px, px)
+
+
+def test_batched_pixel_and_phash_kernels_bit_identical():
+    """r06: make_pixels_batch / phash64_batch must reproduce the scalar
+    kernels bit-for-bit across every (w, h) fixture shape."""
+    import itertools
+
+    import numpy as np
+
+    from navi_spark.sources.codec import (
+        make_pixels,
+        make_pixels_batch,
+        phash64,
+        phash64_batch,
+    )
+
+    for w, h in itertools.product((16, 32, 64), repeat=2):
+        keys = [f"img{i:010d}" for i in range(0, 220, 11)]
+        bx = make_pixels_batch(keys, w, h)
+        ph = phash64_batch(bx)
+        for r, k in enumerate(keys):
+            px = make_pixels(k, w, h)
+            assert np.array_equal(bx[r], px), (w, h, k)
+            assert int(ph[r]) == phash64(px), (w, h, k)
