@@ -86,8 +86,34 @@ def field_lengths(
     df: DataFrame, id_col: str, field_cols: dict[str, str],
     stopwords: Sequence[str] = (), stem: bool = True,
 ) -> DataFrame:
-    """Per-doc post-stopword token counts per field (I6)."""
-    aggs = []
+    """Per-doc post-stopword token counts per field (I6).
+
+    Fast path (optimization round 6, guide §2.4 — same equivalence as
+    queries.r3_bm25): without stopwords or stemming a field's token count
+    is the number of maximal [a-z]+ runs in the cleaned text (after
+    regexp_replace the text is [a-z\\s]-only, so \\s+-split non-empty
+    tokens ≡ maximal letter runs), i.e. one regexp_count projection per
+    field — no explode, no groupBy+pivot exchange. Docs with zero tokens
+    in every field are filtered out, matching the pivot form (such docs
+    never appear in the token stream). Stemming never changes counts, so
+    only STOPWORDS force the token-stream path."""
+    if not stopwords:
+        lens = {
+            name: F.regexp_count(
+                F.regexp_replace(F.lower(col), "[^a-z\\s]", ""),
+                F.lit("[a-z]+"),
+            ).cast("long")
+            for name, col in field_cols.items()
+        }
+        any_tok = None
+        for c in lens.values():
+            any_tok = c if any_tok is None else any_tok + c
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            *[c.alias(f"len_{name}") for name, c in lens.items()],
+        ).filter(F.lit(0) < sum(
+            [F.col(f"len_{name}") for name in lens], F.lit(0))
+        )
     streams = [
         tokenize_field(df, id_col, col, name, stopwords, stem)
         for name, col in field_cols.items()

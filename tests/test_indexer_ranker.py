@@ -220,3 +220,27 @@ def test_snippet():
     content = "x " * 300 + "the spark engine shines" + " y" * 300
     s = snippet(content, ["spark"], window=60, stride=10)
     assert "<b>spark</b>" in s and len(s) <= 60 + len("<b></b>") * 4
+
+
+def test_field_lengths_fast_path_matches_token_stream(spark):
+    """r06: the no-stopword regexp_count fast path of field_lengths must
+    equal the token-stream pivot form row-for-row (legacy path forced via
+    a stopword that occurs nowhere)."""
+    import pyspark.sql.functions as F
+
+    from navi_spark.operators import indexer
+
+    d = spark.createDataFrame(
+        [(1, "Spark joins! 42", "hash agg"), (2, "", "x"), (3, "  ", ""),
+         (4, "a-b c_d", "1 2 3")],
+        "doc_id long, h1 string, other string",
+    ).select(F.col("doc_id").cast("string").alias("url"), "h1", "other")
+    fields = {"h1": "h1", "other": "other"}
+    fast = {r["doc_id"]: (r["len_h1"], r["len_other"])
+            for r in indexer.field_lengths(d, "url", fields,
+                                           stem=False).collect()}
+    legacy = {r["doc_id"]: (r["len_h1"], r["len_other"])
+              for r in indexer.field_lengths(
+                  d, "url", fields, stopwords=("zzz_never",),
+                  stem=False).collect()}
+    assert fast == legacy
