@@ -12,6 +12,7 @@ auditable line-by-line against SURVEY.md §2.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import pandas as pd
@@ -31,7 +32,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+# Below this input size the _spread exchange costs more than the serial
+# scan it parallelizes (measured at sf0.1: i3 0.266 → 0.322 with an
+# unconditional spread; at sf1.0 the spread wins 3.4×). Parameterized —
+# a conf knob, not a host constant; unknown/non-local paths assume big.
+SPREAD_MIN_BYTES = int(os.environ.get("NAVI_SPREAD_MIN_BYTES",
+                                      str(2 << 20)))
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    p = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith(("_", "."))
+            )
+        return os.path.getsize(p)
+    except OSError:
+        return 1 << 40  # not a local path: assume big → spread
+
+
+def _spread(df: DataFrame, key: str = "doc_id",
+            nbytes: Optional[int] = None) -> DataFrame:
     """Restore scan parallelism before expensive per-row work (guide §2.5
     input skew / §6 input splits): the driver tables are single-file,
     single-row-group parquet (row groups land in whichever split holds
@@ -40,14 +64,17 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     fused into that scan stage serializes with it. One hash exchange of
     the small raw rows (deterministic key — never round-robin, guide
     §2.5) spreads the downstream compute across the session's shuffle
-    partitions. Cost: shuffling bytes that were already column-pruned;
-    won at every measured scale because the per-row work dominates."""
+    partitions. Scale-adaptive: inputs under SPREAD_MIN_BYTES skip the
+    exchange (the serial scan is cheaper than shuffling it)."""
+    if nbytes is not None and nbytes < SPREAD_MIN_BYTES:
+        return df
     return df.repartition(key)
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, word): lowercase, strip non-letters, split (I3)."""
-    d = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"),
+                nbytes=_table_bytes(sf_dir, "documents"))
     return (
         d.select(
             "doc_id",
@@ -599,7 +626,9 @@ def r3_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.count()
     cleaned = F.regexp_replace(F.lower("text"), "[^a-z\\s]", "")
     per_doc = (
-        _spread(d.select("doc_id", "text")).select("doc_id", cleaned.alias("_c"))
+        _spread(d.select("doc_id", "text"),
+                nbytes=_table_bytes(sf_dir, "documents"))
+        .select("doc_id", cleaned.alias("_c"))
         .select(
             "doc_id",
             F.regexp_count("_c", F.lit("[a-z]+")).alias("doc_len"),
@@ -691,7 +720,8 @@ def r8_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = F.regexp_replace(F.lower("text"), "[^a-z\\s]", "")
     tf = F.regexp_count(cleaned, F.lit("(?<![a-z])spark(?![a-z])")).cast("long")
     return (
-        _spread(d.select("doc_id", "text")).select(
+        _spread(d.select("doc_id", "text"),
+                nbytes=_table_bytes(sf_dir, "documents")).select(
             "doc_id",
             F.round(
                 0.7 * tf + 0.3 * (F.col("doc_id") % 100) / 100.0, 6
@@ -768,7 +798,8 @@ def r12_boolean_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _spread: three full-text rlike scans over a single-row-group file
     # would each run on ~1 task (guide §2.5); one hash exchange of the raw
     # rows parallelizes all three regex branches
-    d = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"),
+                nbytes=_table_bytes(sf_dir, "documents"))
 
     def docs(rx):
         return d.filter(F.col("text").rlike(rx)).select("doc_id")
@@ -974,7 +1005,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).astype("int64")
 
     d = _spread(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        nbytes=_table_bytes(sf_dir, "documents"),
     ).filter(F.length("text") >= 3)
     hits = hits_udf(F.lower(F.col("text")))
     score = hits.cast("double") / (F.length("text") - 2)
@@ -1008,7 +1040,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical sums) — the JVM regex split dominates and the lambda runs
     ~word-count evals/row, not ~char-count like langid's trigram array."""
     d = _spread(load(spark, sf_dir, "documents")
-                .select("doc_id", "text", "n_chars"))
+                .select("doc_id", "text", "n_chars"),
+                nbytes=_table_bytes(sf_dir, "documents"))
     words = F.split(F.col("text"), "\\s+")
     # stopword OCCURRENCES (not distinct) via a higher-order filter
     n_stop_occ = F.size(
@@ -1034,7 +1067,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercased text."""
-    d = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"),
+                nbytes=_table_bytes(sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.md5(
