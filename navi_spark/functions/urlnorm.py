@@ -259,11 +259,336 @@ def _normalize_vec(urls: pd.Series) -> pd.Series:
 
 
 @pandas_udf(StringType())
-def normalize_url_udf(urls: pd.Series) -> pd.Series:
+def normalize_url_pandas_udf(urls: pd.Series) -> pd.Series:
     """Arrow-batched canonicalizer (C3): vectorized fast path for the
     identity-charset subset (see _normalize_vec), exact per-element
-    reference pipeline for the rest."""
+    reference pipeline for the rest.
+
+    Since optimization round 6 this is no longer the data-plane entry point
+    (``normalize_url_udf`` below builds a pure-JVM column); it remains the
+    batched Python kernel for the children-list canonicalization (which is
+    array-typed) and the differential-parity tests."""
     return _normalize_vec(urls)
+
+
+# ---------------------------------------------------------------------------
+# Optimization round 6 (guide §4.1 "eliminate the boundary, don't vectorize
+# inside it"): the full-fidelity canonicalizer as a pure-JVM column
+# expression. The pandas UDF above costs ~10 ms of Python-lane overhead per
+# task plus one Arrow round trip for every byte — row-count-independent and
+# partially serialized — so at the bench's 64 fixed partitions the lane
+# alone is ~0.65 s no matter how fast the kernel gets. The expression below
+# removes the lane entirely.
+#
+# Two structural problems keep this from being a naive Column chain:
+#   1. Re-using a sub-Column in several places duplicates its whole subtree
+#      (Catalyst sees a tree, not a DAG) — the naive builtin chain measured
+#      12x SLOWER than the UDF for exactly this reason (normalize_url_expr
+#      perf note below).  Fix: `_let`, a single-element `transform` that
+#      binds each intermediate to a lambda variable, so every reference is
+#      a variable read and each stage evaluates exactly once per row.
+#   2. Higher-order functions are CodegenFallback, so the whole expression
+#      evaluates interpreted — acceptable because it runs ~45 string ops on
+#      a ~40-char string (~1-2 µs/row), against a Python lane whose FLOOR
+#      was ~0.65 s per 500k-row stage.
+#
+# Parity: element-wise identical to normalize_url_py (the reference kernel)
+# on the full dirty universe, every adversarial spelling in the test table,
+# and a seeded fuzz corpus over the URL charset — asserted in
+# tests/test_urlnorm.py::test_normalize_column_matches_py_*.
+# ---------------------------------------------------------------------------
+
+
+def _let(val: Column, body) -> Column:
+    """Bind `val` once and use it via a lambda variable in `body`.
+
+    `transform` over a 1-element array evaluates `val` exactly once per
+    row; inside `body` the lambda variable is a computed value, so multiple
+    references cost a variable read instead of re-evaluating the subtree.
+    """
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
+# char class of str.strip()-strippable whitespace (Python unicode
+# whitespace) — F.trim strips only ' ', so the reference's .strip() needs
+# an explicit class; kept in sync with str.isspace()
+_PY_WS_CLASS = (
+    "[\\t-\\r \\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]"
+)
+
+
+def _form_encode_col(u: Column) -> Column:
+    """JVM twin of _java_form_encode: Java URLEncoder + the two
+    Python-quote_plus charset deltas ('*' encoded, '~' kept) + the
+    reference's 5 re-exposures."""
+    e = F.url_encode(u)  # space->'+', UTF-8 %XX uppercase, keeps [a-zA-Z0-9.*_-]
+    e = F.replace(e, F.lit("*"), F.lit("%2A"))
+    e = F.replace(e, F.lit("%7E"), F.lit("~"))
+    for enc, ch in _REEXPOSE:
+        e = F.replace(e, F.lit(enc), F.lit(ch))
+    return e
+
+
+def _remove_dot_segments_col(path: Column) -> Column:
+    """JVM twin of _remove_dot_segments_java for an absolute path.
+
+    Fold the '/'-split segments through the Java URI.normalize() stack
+    rules: '.' collapses, interior empty segments collapse, '..' pops a
+    poppable top (not '..'/''), unpoppable '..' is PRESERVED (Java quirk),
+    and a trailing '.'/'..' keeps the directory trailing slash."""
+
+    def with_segs(segs: Column) -> Column:
+        n = F.size(segs)
+        indexed = F.transform(
+            segs, lambda s, i: F.struct(s.alias("s"), i.alias("i"))
+        )
+        fold = F.aggregate(
+            indexed,
+            F.array().cast("array<string>"),
+            lambda acc, x: (
+                F.when(x["s"] == ".", acc)
+                .when((x["s"] == "") & (x["i"] > 0) & (x["i"] < n - 1), acc)
+                .when(
+                    x["s"] == "..",
+                    F.when(
+                        (F.size(acc) > 0)
+                        & ~F.element_at(acc, -1).isin("..", ""),
+                        F.slice(acc, 1, F.size(acc) - 1),
+                    ).otherwise(F.concat(acc, F.array(F.lit("..")))),
+                )
+                .otherwise(F.concat(acc, F.array(x["s"])))
+            ),
+        )
+
+        def with_fold(out: Column) -> Column:
+            last = F.element_at(segs, -1)
+            out2 = F.when(
+                last.isin(".", "..")
+                & ((F.size(out) == 0) | (F.element_at(out, -1) != "")),
+                F.concat(out, F.array(F.lit(""))),
+            ).otherwise(out)
+            joined = F.array_join(out2, "/")
+            # absolute path in, absolute path out (matches leading_slash
+            # handling for the only shape reachable here: path[0] == '/')
+            return F.when(joined.startswith("/"), joined).otherwise(
+                F.concat(F.lit("/"), joined)
+            )
+
+        return _let(fold, with_fold)
+
+    return _let(F.split(path, "/", -1), with_segs)
+
+
+def normalize_url_column(col: Column) -> Column:
+    """Full-fidelity reference canonicalizer (C3) as a pure-JVM column.
+
+    Follows normalize_url_py stage for stage; see the module docstring for
+    the reference pipeline and the block comment above for why this is
+    let-bound instead of a plain Column chain."""
+
+    def pipeline(fx: Column) -> Column:
+        def with_encoded(e: Column) -> Column:
+            efull = F.when(
+                e.startswith("http://") | e.startswith("https://"), e
+            ).otherwise(F.concat(F.lit("https://"), e))
+
+            def with_efull(ef: Column) -> Column:
+                is_https = ef.startswith("https://")
+                scheme = F.when(is_https, F.lit("https")).otherwise(
+                    F.lit("http")
+                )
+                # query dropped before the first '/' search, like
+                # _split_encoded (a '?' may precede any '/')
+                rest = F.substring_index(
+                    F.when(is_https, ef.substr(F.lit(9), F.length(ef)))
+                    .otherwise(ef.substr(F.lit(8), F.length(ef))),
+                    "?",
+                    1,
+                )
+
+                def with_rest(rq: Column) -> Column:
+                    spos = F.instr(rq, "/")
+                    stage = F.struct(
+                        F.when(spos > 0, rq.substr(F.lit(1), spos - 1))
+                        .otherwise(rq)
+                        .alias("auth"),
+                        F.when(spos > 0, rq.substr(spos, F.length(rq)))
+                        .otherwise(F.lit(""))
+                        .alias("path"),
+                    )
+
+                    def with_auth_path(ap: Column) -> Column:
+                        auth, path0 = ap["auth"], ap["path"]
+                        # port = digits after the LAST ':' (reference
+                        # rfind) — digits checked with translate, no
+                        # regex; authority is pure ASCII post-encode so
+                        # [0-9] is exactly Python isdigit() here
+                        after = F.substring_index(auth, ":", -1)
+                        port_ok = (after != "") & (
+                            F.translate(after, "0123456789", "") == ""
+                        )
+                        host0 = (
+                            F.when(~auth.contains(":"), auth)
+                            .when(
+                                port_ok,
+                                auth.substr(
+                                    F.lit(1),
+                                    F.length(auth) - F.length(after) - 1,
+                                ),
+                            )
+                            .otherwise(F.lit(None).cast("string"))
+                        )
+                        # host0 null / '' / residual ':' → reference
+                        # returns null (java.net.URI getHost() == null)
+                        hostv = F.when(
+                            (host0 != "") & ~host0.contains(":"), host0
+                        )  # else NULL
+                        # dot/empty-segment normalization only when the
+                        # path can need it ('/.' also catches '/..';
+                        # false positives like '/.foo' fold to identity).
+                        # pathn and p1 are LET-BOUND: a when-tree referenced
+                        # 3x by its consumer re-evaluates its branches 3x,
+                        # and two such layers compound to 9 gated-fold
+                        # evaluations per row (measured +0.5 s/500k rows)
+                        pathn = _let(
+                            F.when(
+                                path0.contains("/.")
+                                | path0.contains("//"),
+                                _remove_dot_segments_col(path0),
+                            ).otherwise(path0),
+                            # first decode = unquote: %XX once, '+'
+                            # UNtouched (protected as %2B); every '%' here
+                            # came from URLEncoder so escapes are valid
+                            lambda pn: F.when(
+                                pn.contains("%"),
+                                F.url_decode(
+                                    F.replace(
+                                        pn, F.lit("+"), F.lit("%2B")
+                                    )
+                                ),
+                            ).otherwise(pn),
+                        )
+                        p1s = _let(
+                            pathn,
+                            lambda p1: F.when(
+                                p1.endswith("/"),
+                                p1.substr(F.lit(1), F.length(p1) - 1),
+                            ).otherwise(p1),
+                        )
+                        stage2 = F.struct(
+                            hostv.alias("h"), p1s.alias("p")
+                        )
+
+                        def with_host_path(hp: Column) -> Column:
+                            h0, p = hp["h"], hp["p"]
+                            # reference host rewrites, in order
+                            h1 = F.when(
+                                h0.startswith("www2"),
+                                h0.substr(F.lit(6), F.length(h0)),
+                            ).otherwise(h0)
+                            h2 = _let(
+                                h1,
+                                lambda v: F.when(
+                                    v.startswith("www"),
+                                    v.substr(F.lit(5), F.length(v)),
+                                ).otherwise(v),
+                            )
+
+                            def with_host2(hh: Column) -> Column:
+                                h3 = F.when(
+                                    hh.endswith(".eg"),
+                                    hh.substr(
+                                        F.lit(1), F.length(hh) - 3
+                                    ),
+                                ).otherwise(hh)
+
+                                def with_host3(hf: Column) -> Column:
+                                    bad = (
+                                        (hf == "")
+                                        | hf.startswith(".")
+                                        | hf.endswith(".")
+                                        | hf.contains("..")
+                                    )
+                                    # second decode = unquote_plus,
+                                    # LENIENT: invalid escapes pass
+                                    # through (protect them as %25
+                                    # before the strict JVM decoder)
+                                    p2 = F.when(
+                                        p.contains("%"),
+                                        F.url_decode(
+                                            F.regexp_replace(
+                                                p,
+                                                "%(?![0-9a-fA-F]{2})",
+                                                "%25",
+                                            )
+                                        ),
+                                    ).otherwise(
+                                        F.replace(
+                                            p, F.lit("+"), F.lit(" ")
+                                        )
+                                    )
+                                    return F.when(
+                                        ~bad,
+                                        F.lower(
+                                            F.concat(
+                                                scheme,
+                                                F.lit("://"),
+                                                hf,
+                                                p2,
+                                            )
+                                        ),
+                                    )  # else NULL
+
+                                return _let(h3, with_host3)
+
+                            return _let(h2, with_host2)
+
+                        # hostv NULL short-circuits to NULL output here
+                        # (transform maps the null element through the
+                        # lambda; every downstream op null-propagates)
+                        return _let(stage2, with_host_path)
+
+                    return _let(stage, with_auth_path)
+
+                return _let(rest, with_rest)
+
+            return _let(efull, with_efull)
+
+        return _let(_form_encode_col(fx), with_encoded)
+
+    trimmed = F.regexp_replace(
+        F.lower(col), f"^{_PY_WS_CLASS}+|{_PY_WS_CLASS}+$", ""
+    )
+    out = _let(
+        trimmed,
+        lambda fx: F.when(
+            fx.isNotNull() & (fx != ""), pipeline(fx)
+        ),  # null/blank → NULL, like the reference
+    )
+    # Evaluation-count pin (same category as the asNondeterministic pin on
+    # validate_payload_udf, test_plans.py): a downstream
+    # filter(isNotNull(url)) — the frontier's standard shape — would be
+    # pushed below the projection and re-evaluate this whole expression a
+    # second time per row (measured 1.22 -> 2.75 s/500k). The always-true
+    # spark_partition_id() guard marks the tree nondeterministic, which
+    # keeps the filter above the projection: one evaluation per row, value
+    # unchanged. (rand() bound comparisons get constant-folded by the
+    # optimizer's range reasoning and lose the nondeterminism mark —
+    # partition id has no such rule.)
+    return F.when(F.spark_partition_id() >= -1, out)
+
+
+def normalize_url_udf(col) -> Column:
+    """Data-plane canonicalizer entry point (C3).
+
+    Historically an Arrow-batched pandas UDF — since optimization round 6
+    it builds the pure-JVM `normalize_url_column` expression instead (same
+    call shape: accepts a column or column name, returns a Column), which
+    removes the JVM↔Python lane from every canonicalization stage. The
+    batched Python kernel survives as `normalize_url_pandas_udf`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return normalize_url_column(c)
 
 
 @pandas_udf(StringType())

@@ -180,3 +180,84 @@ def test_vectorized_fast_path_matches_reference_kernel():
         g = got.iloc[i]
         g = None if pd.isna(g) else g
         assert g == normalize_url_py(c), (c, g)
+
+
+def test_jvm_column_matches_reference_kernel(spark):
+    """r06: normalize_url_udf now builds a pure-JVM column
+    (normalize_url_column) — it must equal normalize_url_py element-wise
+    over the adversarial spellings, a seeded fuzz corpus on the URL
+    charset, and the dirty generator universe."""
+    import random
+
+    import numpy as np
+
+    from navi_spark.sources import datagen as dg
+
+    adversarial = [c[0] for c in CASES if c[0] is not None] + [
+        "https://example.com/a%2Fb", "https://example.com/a%2fb",
+        "https://example.com/%2541", "https://example.com/a%zzb",
+        "https://example.com/a%", "https://example.com/a%4",
+        "https://example.com/%e4", "https://example.com/%c3%a9",
+        "https://example.com/a~b", "https://example.com/a*b",
+        "https://ex*mple.com/a", "https://ex~mple.com/a",
+        "https://example.com/a+b+c", "https://example.com/a%2Bb",
+        "https://user@host.test/a", "https://example.com/a/b/../../../c",
+        "https://example.com//a//b//", "https://example.com/a/./././b/",
+        "https://example.com/...", "https://example.com/.../a",
+        "https://example.com/..", "https://example.com/.",
+        "https://example.com/a/..", "https://example.com:0/a",
+        "https://example.com:999999/a", "https://example.com:/a",
+        "https://:8080/a", "host:notaport/a", "a:b:0",
+        "https://example.com:8080:9090/a", "  \thttps://example.com/x  ",
+        " https://example.com/y　", "https://example.com/ü",
+        "https://exämple.com/a", "https://example.com/日本",
+        "https://example.com/a?b?c/d", "https://example.com?q=1/x",
+        "https://example.com/a#b#c", "https://example.com/#", "#",
+        "https://example.com/a&b=c;d", "https://example.com/a['b']!",
+        "https://example.com/a(b),c;", "https://example.com/$a&b",
+        "www2.example.com/a", "www2foo/a", "wwwx/a", "www2x.eg/a",
+        "www.www.example.com/a", "https://.example.com/a",
+        "https://example.com./a", "https://ex..ample.com/a",
+        "https://e.eg/a", "https://.eg/a", "https://eg/a", "https://x.EG/a",
+        "https://example.com/p/%33145", "HTTPS://WWW.HOST5.TEST/P/123",
+        "https://host1.test:443/p/3", "host2.test/p/42?utm=x&y=1",
+        "https://example.com/a  b", "https://example.com/a%20b",
+        "https://example.com/%2e%2e/a", "https://example.com/%2e/a",
+        "https://example.com/a/%2e%2e", "++", "%", "%%", "%25", ":", "/",
+        "//", "///a", "https:///a", "https://", "http://", "https://?q",
+        "https://#f",
+    ]
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789-._~/?#[]@!$&'()*+,;=%: "
+    )
+    uni = "é日ü 　\t"
+    rng = random.Random(42)
+    fuzz = []
+    for i in range(2000):
+        n = rng.randint(0, 60)
+        chars = alphabet if i % 4 else alphabet + uni
+        s = "".join(rng.choice(chars) for _ in range(n))
+        if i % 3 == 0:
+            s = f"https://host{i % 50}.test/" + s
+        fuzz.append(s)
+    universe = list(dg.dirty_url_vec(np.arange(4000, dtype=np.int64), 97))
+    raws = adversarial + fuzz + universe
+    df = spark.createDataFrame([(r,) for r in raws], ["url"])
+    got = {
+        i: r["norm"]
+        for i, r in enumerate(
+            df.select(
+                normalize_url_udf("url").alias("norm")
+            ).collect()
+        )
+    }
+    for i, raw in enumerate(raws):
+        assert got[i] == normalize_url_py(raw), raw
+    # null input -> null output
+    row = (
+        spark.createDataFrame([(None,)], "url string")
+        .select(normalize_url_udf("url").alias("n"))
+        .collect()
+    )
+    assert row[0]["n"] is None
