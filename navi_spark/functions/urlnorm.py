@@ -380,14 +380,27 @@ def _remove_dot_segments_col(path: Column) -> Column:
     return _let(F.split(path, "/", -1), with_segs)
 
 
-def normalize_url_column(col: Column) -> Column:
+def normalize_url_column(col: Column, pin_single_eval: bool = True) -> Column:
     """Full-fidelity reference canonicalizer (C3) as a pure-JVM column.
 
     Follows normalize_url_py stage for stage; see the module docstring for
     the reference pipeline and the block comment above for why this is
-    let-bound instead of a plain Column chain."""
+    let-bound instead of a plain Column chain.
+
+    ``pin_single_eval=False`` drops the nondeterministic evaluation-count
+    guard (value identical): required inside lambda functions (e.g. a
+    ``transform`` over a children array), where Catalyst rejects
+    nondeterministic expressions."""
 
     def pipeline(fx: Column) -> Column:
+        # form-encode is the identity on [a-z0-9._~/:?=&-]*: those chars
+        # are either URLEncoder-safe, re-exposed, or fixed back ('~'), and
+        # none of ' '/'+'/'%'/'*' (the chars the chain rewrites) are in
+        # the class — so most rows skip the encode+7-replace chain
+        encoded = F.when(
+            fx.rlike("^[a-z0-9._~/:?=&-]*$"), fx
+        ).otherwise(_form_encode_col(fx))
+
         def with_encoded(e: Column) -> Column:
             efull = F.when(
                 e.startswith("http://") | e.startswith("https://"), e
@@ -477,11 +490,22 @@ def normalize_url_column(col: Column) -> Column:
                             ).otherwise(p1),
                         )
                         stage2 = F.struct(
-                            hostv.alias("h"), p1s.alias("p")
+                            hostv.alias("h"),
+                            p1s.alias("p"),
+                            # a '%' before the first decode is the only
+                            # way uppercase can enter the output (input
+                            # is lowercased; path %XX decodes to
+                            # arbitrary chars, and host escapes survive
+                            # UNdecoded with uppercase hex) — gates the
+                            # final lower() pass
+                            (
+                                path0.contains("%")
+                                | auth.contains("%")
+                            ).alias("d"),
                         )
 
                         def with_host_path(hp: Column) -> Column:
-                            h0, p = hp["h"], hp["p"]
+                            h0, p, dec = hp["h"], hp["p"], hp["d"]
                             # reference host rewrites, in order
                             h1 = F.when(
                                 h0.startswith("www2"),
@@ -528,16 +552,13 @@ def normalize_url_column(col: Column) -> Column:
                                             p, F.lit("+"), F.lit(" ")
                                         )
                                     )
+                                    cc = F.concat(
+                                        scheme, F.lit("://"), hf, p2
+                                    )
                                     return F.when(
                                         ~bad,
-                                        F.lower(
-                                            F.concat(
-                                                scheme,
-                                                F.lit("://"),
-                                                hf,
-                                                p2,
-                                            )
-                                        ),
+                                        F.when(dec, F.lower(cc))
+                                        .otherwise(cc),
                                     )  # else NULL
 
                                 return _let(h3, with_host3)
@@ -555,7 +576,7 @@ def normalize_url_column(col: Column) -> Column:
 
             return _let(efull, with_efull)
 
-        return _let(_form_encode_col(fx), with_encoded)
+        return _let(encoded, with_encoded)
 
     trimmed = F.regexp_replace(
         F.lower(col), f"^{_PY_WS_CLASS}+|{_PY_WS_CLASS}+$", ""
@@ -566,6 +587,8 @@ def normalize_url_column(col: Column) -> Column:
             fx.isNotNull() & (fx != ""), pipeline(fx)
         ),  # null/blank → NULL, like the reference
     )
+    if not pin_single_eval:
+        return out
     # Evaluation-count pin (same category as the asNondeterministic pin on
     # validate_payload_udf, test_plans.py): a downstream
     # filter(isNotNull(url)) — the frontier's standard shape — would be
