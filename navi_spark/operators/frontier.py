@@ -1091,20 +1091,28 @@ class CrawlEngine:
             old_keys = [
                 r[0] for r in old.select(F.xxhash64("url")).collect()
             ]
+            _mark("1a-old-key-collect")
             web_bf = literal_bloom_build(old_keys, fpp=0.01)
             web_pred = literal_bloom_predicate(
                 *web_bf, F.xxhash64(F.col("url"))
             )
-            web_side = web_side.filter(web_pred)
-            # image keys referenced by the matched web rows: re-derive via
-            # a second pruned web scan (column-pruned to url+image_id,
-            # map-side filtered — cheaper than materializing the join).
-            # set() both dedups shared images and drops bloom-FP extras.
+            # materialize the pruned LIGHT web rows once (≈|store| rows
+            # under the gate): the image-key collect below populates the
+            # cache and the classification join re-reads it, instead of
+            # each re-running the pruned web scan (r06: measured 0.33 s
+            # for the extra scan at the bench size). cache() not
+            # localCheckpoint: it rides the collect's job, keeping the
+            # no-drift job discipline at 17; unpersisted right after the
+            # labeled checkpoint that consumes it.
+            web_side = web_side.filter(web_pred).cache()
+            # image keys referenced by the matched web rows; set() both
+            # dedups shared images and drops bloom-FP extras.
             img_keys = sorted({
                 r[0]
-                for r in self.web.filter(web_pred)
-                .select(F.xxhash64("image_id")).collect()
+                for r in web_side
+                .select(F.xxhash64("new_image_id")).collect()
             })
+            _mark("1b-img-key-collect")
             img_bf = literal_bloom_build(img_keys, fpp=0.01)
             img_side = img_side.filter(
                 literal_bloom_predicate(
@@ -1157,6 +1165,8 @@ class CrawlEngine:
         # run a single scan — both the boundary derivation and the final
         # broadcast join read the materialized rows, not the join tree
         labeled = re_f.withColumn("status", status).localCheckpoint(eager=True)
+        if prune_scans:
+            web_side.unpersist()
         _mark("1-classify+labeled-ckpt")
         cons = labeled.filter(consuming).select("host", "rank", "url")
         salted = cons.withColumn(

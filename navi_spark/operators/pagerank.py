@@ -101,6 +101,25 @@ def pagerank(
     aqe_off = n <= PAGERANK_AQE_OFF_MAX_NODES
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
     cg_prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    sp_prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # Loop shuffle sizing (guide §2.2, size-derived — never a host
+    # constant): the 10-iteration loop runs ~2 exchanges per iteration;
+    # at the session default (64) that is 1300+ task launches for stages
+    # of a few thousand rows each, and task-launch overhead dominates the
+    # whole materialization (measured below). Partitions are derived from
+    # the graph size (one per ~20k nodes) and only ever lowered, so big
+    # graphs keep the session's parallelism and the e2e plan shape.
+    # Rank values shift by summation order only (≪ the 1e-12 test / 4dp
+    # oracle tolerances, same class as the python-vs-spark oracle delta).
+    # ~2k nodes per loop partition measured best (12k-node graph,
+    # local[32]: 64 parts 3.85 s, 1 part 1.91 s, 4-12 parts 1.35-1.40 s)
+    rows_per_part = int(
+        os.environ.get("NAVI_PAGERANK_LOOP_ROWS_PER_PART", "2000")
+    )
+    loop_parts = max(1, -(-n // rows_per_part)) if rows_per_part else int(
+        sp_prev
+    )
+    shrink_shuffle = aqe_off and loop_parts < int(sp_prev)
     edges = (
         edges_from_pages(pages)
         .join(out_degrees(pages), "src")
@@ -187,6 +206,8 @@ def pagerank(
     if aqe_off:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    if shrink_shuffle:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         out = ranks.select(F.col("node").alias("url"), "rank").localCheckpoint(
             eager=True
@@ -195,6 +216,8 @@ def pagerank(
         if aqe_off:
             spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
             spark.conf.set("spark.sql.codegen.wholeStage", cg_prev)
+        if shrink_shuffle:
+            spark.conf.set("spark.sql.shuffle.partitions", sp_prev)
     _mark("checkpoint-action")
     edges.unpersist()
     nodes.unpersist()
