@@ -1261,6 +1261,14 @@ class CrawlEngine:
             old_kids = old.select(
                 "url", F.col("children").alias("old_children"))
             if n_changed <= RECRAWL_BROADCAST_MAX:
+                # NOTE (r06, measured): replacing this broadcast semi with
+                # a literal-bloom filter (so the prune would push below an
+                # Arrow children UDF, like the classification-scan prune)
+                # was A/B'd and REVERTED — the bench-shaped caller hands
+                # recrawl a CACHED drifted web, whose children are already
+                # materialized, so there is no generation to row-prune and
+                # the key-collect + per-row probes only added latency
+                # (children-fetch 0.62-0.73 -> 0.92-1.05 s).
                 ckeys = changed.select("url")
                 new_kids = new_kids.join(
                     F.broadcast(ckeys), on="url", how="left_semi")
