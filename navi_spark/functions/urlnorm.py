@@ -380,6 +380,48 @@ def _remove_dot_segments_col(path: Column) -> Column:
     return _let(F.split(path, "/", -1), with_segs)
 
 
+# Fast-branch shapes (r06 late round): URLs where every reference-pipeline
+# step other than scheme-defaulting, query/port-dropping, ONE trailing
+# slash and the www/www2/.eg host rewrites is the identity, so the result
+# is a single regex decomposition — no encode, no decode, no dot-segment
+# fold. Charsets are exactly the chars the form-encode chain keeps
+# verbatim ('_' '~' safe; '.' structural in the host, EXCLUDED from path
+# segments so dot-segments are impossible; ':'/'='/'&' re-exposed in the
+# path; no '%'/'+'/' '/'*'/'#'). The www lookaheads route every rewrite
+# shape whose dropped 4/5 chars are NOT exactly "www."/"www2." (the
+# char-count mangles, e.g. "wwwx.y" -> ".y", "www2.www2.x" -> "2.x") to
+# the exact slow branch; the accepted prefix strips reduce to anchored
+# label removals that preserve host validity, so no post-rewrite checks
+# are needed. ~75% of the dirty bench universe matches; evaluated
+# interpreted (inside the outer let) at ~3 regex runs/row vs the slow
+# branch's ~45 string ops.
+_FAST_HOST = "[a-z0-9_~-]+(?:\\.[a-z0-9_~-]+)*"
+_FAST_PATH = "(?:/[a-z0-9_~=&:-]+)*"
+_FAST_PRED = (
+    "^(?:https?://)?"
+    "(?!www(?!2?\\.))(?!www2\\.www)"
+    f"{_FAST_HOST}(?::[0-9]+)?{_FAST_PATH}/?(?:\\?.*)?$"
+)
+_FAST_EXTRACT = (
+    f"^(?:https?://)?({_FAST_HOST})(?::[0-9]+)?({_FAST_PATH})/?(?:\\?.*)?$"
+)
+
+
+def _fast_norm(fx: Column) -> Column:
+    host = F.regexp_extract(fx, _FAST_EXTRACT, 1)
+    host = F.regexp_replace(host, "^www2\\.", "")
+    host = F.regexp_replace(host, "^www\\.", "")
+    host = F.regexp_replace(host, "\\.eg$", "")
+    return F.concat(
+        F.when(fx.startswith("http://"), F.lit("http")).otherwise(
+            F.lit("https")
+        ),
+        F.lit("://"),
+        host,
+        F.regexp_extract(fx, _FAST_EXTRACT, 2),
+    )
+
+
 def normalize_url_column(col: Column, pin_single_eval: bool = True) -> Column:
     """Full-fidelity reference canonicalizer (C3) as a pure-JVM column.
 
@@ -584,7 +626,10 @@ def normalize_url_column(col: Column, pin_single_eval: bool = True) -> Column:
     out = _let(
         trimmed,
         lambda fx: F.when(
-            fx.isNotNull() & (fx != ""), pipeline(fx)
+            fx.isNotNull() & (fx != ""),
+            F.when(fx.rlike(_FAST_PRED), _fast_norm(fx)).otherwise(
+                pipeline(fx)
+            ),
         ),  # null/blank → NULL, like the reference
     )
     if not pin_single_eval:

@@ -226,6 +226,16 @@ def test_jvm_column_matches_reference_kernel(spark):
         "https://example.com/a/%2e%2e", "++", "%", "%%", "%25", ":", "/",
         "//", "///a", "https:///a", "https://", "http://", "https://?q",
         "https://#f",
+        # fast-branch routing quirks (the www/www2/.eg char-count mangles
+        # and charset edges the _FAST_PRED lookaheads must route to the
+        # exact slow branch)
+        "https://www2.www2.x/a", "https://www2.www.x/a", "https://www25.x/a",
+        "https://www.www2.x/a", "https://www2~x.test/a", "https://www2x.y/a",
+        "https://www.eg/a", "https://www2.eg/a", "https://x.eg:8080/a",
+        "https://x.eg/a/", "host/a:b", "host/a=b&c", "https://a_b~c.test/p/1",
+        "www", "www2", "www.", "www2.", "https://www./a", "https://www2./a",
+        "https://x.eg?q=1", "https://x.eg", "https://h.test/a-b_c~d",
+        "h.test/p/1//",
     ]
     alphabet = (
         "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
