@@ -1274,6 +1274,12 @@ class CrawlEngine:
                     F.broadcast(ckeys), on="url", how="left_semi")
                 old_kids = old_kids.join(
                     F.broadcast(ckeys), on="url", how="left_semi")
+            # NOTE (r06, measured): the consumed checkpoint is ONE
+            # partition (TakeOrdered), so the fetch runs on a single
+            # task — a size-derived repartition to spread it was A/B'd
+            # and REVERTED: the phase is bounded by its ~4 fixed jobs
+            # (broadcast builds, checkpoint, n_struct agg), not by the
+            # ≤budget-row kernel work (0.62-0.64 s unchanged, +1 job).
             changed = (
                 changed.join(new_kids, "url", "left")
                 .join(old_kids, "url", "left")
